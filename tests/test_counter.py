@@ -1,0 +1,144 @@
+"""End-to-end counting parity: TPU engine vs reference-semantics oracle."""
+
+import numpy as np
+import pytest
+
+from sh_assembly_tpu import config as cfg
+from sh_assembly_tpu.io import fastq
+from sh_assembly_tpu.models import counter
+from sh_assembly_tpu.ops import spectrum as sp
+
+from oracle import oracle_count, oracle_denoise, random_reads, reads_from_genome, random_genome
+
+
+def build_from_reads(reads, sizing, reads_per_batch=64, max_read_len=96):
+    bc = cfg.BatchConfig(reads_per_batch=reads_per_batch, max_read_len=max_read_len)
+    batcher = fastq.Batcher(sizing.k, bc.reads_per_batch, bc.max_read_len)
+
+    def stream():
+        for r in reads:
+            yield from batcher.add_read(r)
+        yield from batcher.flush()
+
+    spec, stats = counter.build_spectrum(
+        stream(), sizing, capacity=1 << 14, buf_capacity=1 << 13, batch_cfg=bc
+    )
+    return spec, stats
+
+
+def spec_dict(spec):
+    keys, counts, _ = sp.to_host(spec)
+    return dict(zip(keys.tolist(), counts.tolist()))
+
+
+def sizing_no_denoise(k, qb=20):
+    return cfg.CounterSizing(
+        k=k, qb=qb, hb=qb + 8, num_true_kmers=0, num_false_kmers=0,
+        n_true_kmers=1, num_deNoise=0, ndistinct_for_deNoise=1 << 62,
+        end_deNoise=False, fr=0.0,
+    )
+
+
+@pytest.mark.parametrize("k", [21, 28])
+def test_exact_parity_random_reads(rng, k):
+    reads = random_reads(rng, 80, 90)
+    sizing = sizing_no_denoise(k)
+    spec, stats = build_from_reads(reads, sizing)
+    expect = oracle_count(reads, k, sizing.qb + 8)
+    assert spec_dict(spec) == expect
+    assert stats.kmers == sum(expect.values())
+
+
+def test_exact_parity_with_Ns(rng):
+    k = 21
+    reads = random_reads(rng, 60, 85, n_rate=0.03)
+    # also reads with leading Ns and dense Ns
+    reads += ["N" * 5 + random_reads(rng, 1, 70)[0], "NANANA" + random_reads(rng, 1, 64)[0]]
+    sizing = sizing_no_denoise(k)
+    spec, _ = build_from_reads(reads, sizing)
+    expect = oracle_count(reads, k, sizing.qb + 8)
+    assert spec_dict(spec) == expect
+
+
+def test_long_reads_tiled(rng):
+    # segments longer than the batch row length are tiled with k-1 overlap
+    k = 21
+    reads = random_reads(rng, 6, 700)
+    sizing = sizing_no_denoise(k)
+    spec, _ = build_from_reads(reads, sizing, reads_per_batch=32, max_read_len=96)
+    expect = oracle_count(reads, k, sizing.qb + 8)
+    assert spec_dict(spec) == expect
+
+
+def test_small_range_collisions(rng):
+    # tiny qb forces hash collisions mod range; engine and oracle must agree
+    k = 15
+    reads = random_reads(rng, 100, 60)
+    sizing = sizing_no_denoise(k, qb=4)  # range = 2^12
+    spec, _ = build_from_reads(reads, sizing)
+    expect = oracle_count(reads, k, sizing.qb + 8)
+    assert spec_dict(spec) == expect
+
+
+def test_end_denoise_sweep(rng):
+    k = 21
+    genome = random_genome(rng, 2000)
+    reads = reads_from_genome(rng, genome, 300, 80, error_rate=0.01)
+    sizing = sizing_no_denoise(k)
+    sizing.end_deNoise = True
+    spec, stats = build_from_reads(reads, sizing)
+    expect = oracle_denoise(oracle_count(reads, k, sizing.qb + 8))
+    assert spec_dict(spec) == expect
+    assert stats.sweeps == 1
+
+
+def test_triggered_denoise_round(rng):
+    # one mid-stream sweep at a fixed distinct-count threshold: emulate the
+    # oracle by replaying batches in the same order with the same trigger.
+    k = 21
+    genome = random_genome(rng, 1500)
+    reads = reads_from_genome(rng, genome, 400, 70, error_rate=0.02)
+    sizing = sizing_no_denoise(k)
+    threshold = 1200
+    sizing.num_deNoise = 1
+    sizing.ndistinct_for_deNoise = threshold
+
+    bc = cfg.BatchConfig(reads_per_batch=16, max_read_len=96)
+    batcher = fastq.Batcher(k, bc.reads_per_batch, bc.max_read_len)
+
+    def stream():
+        for r in reads:
+            yield from batcher.add_read(r)
+        yield from batcher.flush()
+
+    spec, stats = counter.build_spectrum(
+        stream(), sizing, capacity=1 << 14, buf_capacity=1 << 12, batch_cfg=bc
+    )
+    assert stats.sweeps == 1
+
+    # oracle replay with identical batching and trigger policy
+    mask = (1 << (sizing.qb + 8)) - 1
+    from sh_assembly_tpu.utils import nthash as nh
+
+    batcher2 = fastq.Batcher(k, bc.reads_per_batch, bc.max_read_len)
+    counts = {}
+    swept = 0
+
+    def process(batch):
+        nonlocal swept, counts
+        for i in range(batch.n_rows):
+            codes = batch.codes[i, : batch.lengths[i]]
+            for key in nh.canonical_windowed(codes, k):
+                key = int(key) & mask
+                counts[key] = counts.get(key, 0) + 1
+        if swept < 1 and len(counts) >= threshold:
+            counts = {k_: v for k_, v in counts.items() if v >= 2}
+            swept += 1
+
+    for r in reads:
+        for b in batcher2.add_read(r):
+            process(b)
+    for b in batcher2.flush():
+        process(b)
+
+    assert spec_dict(spec) == counts
