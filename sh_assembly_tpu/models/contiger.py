@@ -1,0 +1,461 @@
+"""Contiger — unitig graph construction, TPU-native.
+
+Replaces the reference's task-parallel sequential walks
+(find_unitigs_mt_master/get_unitig_forward, src/contig_assembly.cpp:2034-3218)
+with batched array passes over the whole de Bruijn graph:
+
+  A. node enumeration: stream read batches, keep every N-free window whose
+     spectrum count >= abundance_min (the set the reference discovers
+     incrementally via seeds + traveled bits), dedupe canonical packed
+     k-mers by sort-unique.
+  B. edge probing: for both orientations of every node, roll the ntHash to
+     its 4 successors and query the spectrum (the 8 point probes of
+     contig_assembly.cpp:3064-3120, batched), giving per-oriented-node
+     out-degrees and, where out-degree == 1, the unique successor.
+  C. chain edges: a->b is contracted iff outdeg(a) == 1 and
+     indeg(b) == outdeg(flip(b)) == 1 — the same branch/merge stopping rule
+     as get_unitig_forward (before>0 || after>1, contig_assembly.cpp:3140).
+     Unbranched chains collapse by pointer jumping (log2 rounds of gathers)
+     instead of per-thread walks; cycles are cut deterministically at their
+     minimum-index node (the reference's cycle closure check,
+     contig_assembly.cpp:3176-3183, with a deterministic start instead of
+     traversal order).
+  D. each unitig appears as two mirror oriented paths; the one whose head
+     k-mer is lexicographically <= the mirror's head is kept.  Sequences,
+     median abundances (Utility.cpp:27 median), and link maps are
+     materialized on host from compacted device arrays.
+
+Known, deliberate divergences from the reference (documented for parity
+tests): unitigs whose k-mers appear in no read but alias a counted hash
+(range collisions) are not discovered; components containing no read-middle
+seed are still emitted; cyclic unitigs start at a deterministic node rather
+than a traversal-dependent one.  All three only matter under hash collision
+or pathological coverage; set-level parity holds on the BASELINE configs.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cfg
+from ..io import fastq
+from ..ops import kmerpack as kp, nthash, spectrum as sp
+from ..utils import dna
+from ..utils.logging import log
+
+_U64 = jnp.uint64
+NODE_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# --------------------------------------------------------------------------
+# Stage A: node enumeration
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "key_bits", "abundance_min"))
+def _collect_batch(spec: sp.Spectrum, codes, lengths, k: int, key_bits: int,
+                   abundance_min: int):
+    """One batch -> compacted canonical packed solid k-mers + count found."""
+    B, L = codes.shape
+    W = L - k + 1
+    keys, valid = nthash.windowed_canonical(codes, lengths, k)
+    keys = keys & _U64((1 << key_bits) - 1)
+    counts = sp.query(spec, keys.reshape(-1)).reshape(B, W)
+
+    # windows containing any non-ACGT base are not graph nodes (the
+    # reference skips N-containing seeds, contig_assembly.cpp:2068-2071)
+    bad = (codes >= 4).astype(jnp.int32)
+    cbad = jnp.cumsum(bad, axis=1)
+    nfree = (cbad[:, k - 1 :] - jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), cbad[:, : W - 1]], axis=1)) == 0
+
+    solid = valid & nfree & (counts >= abundance_min)
+
+    hi, lo = kp.pack_windows(codes, k)
+    rhi, rlo = kp.revcomp_packed(hi, lo, k)
+    chi, clo, _ = kp.canonicalize(hi, lo, rhi, rlo)
+
+    flat = solid.reshape(-1)
+    n = jnp.sum(flat, dtype=jnp.int32)
+    dest = jnp.where(flat, jnp.cumsum(flat) - 1, flat.shape[0] - 1)
+    out_hi = jnp.full((flat.shape[0],), _U64(NODE_SENTINEL))
+    out_lo = jnp.full((flat.shape[0],), _U64(NODE_SENTINEL))
+    out_hi = out_hi.at[dest].set(
+        jnp.where(flat, chi.reshape(-1), _U64(NODE_SENTINEL)), mode="drop")
+    out_lo = out_lo.at[dest].set(
+        jnp.where(flat, clo.reshape(-1), _U64(NODE_SENTINEL)), mode="drop")
+    return out_hi, out_lo, n
+
+
+def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
+                  key_bits: int, abundance_min: int):
+    """Distinct solid canonical k-mers over all read batches -> sorted
+    (hi, lo) numpy arrays."""
+    parts_hi, parts_lo = [], []
+    for b in batches:
+        hi, lo, n = _collect_batch(
+            spec, jnp.asarray(b.codes), jnp.asarray(b.lengths), k, key_bits,
+            abundance_min)
+        n = int(n)
+        if n:
+            parts_hi.append(np.asarray(hi[:n]))
+            parts_lo.append(np.asarray(lo[:n]))
+    if not parts_hi:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    hi = np.concatenate(parts_hi)
+    lo = np.concatenate(parts_lo)
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    keep = np.ones(len(hi), bool)
+    keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    return hi[keep], lo[keep]
+
+
+# --------------------------------------------------------------------------
+# Stage B+C+D: graph build + contraction (single device program)
+# --------------------------------------------------------------------------
+
+def _node_hashes(hi, lo, k: int):
+    """(fh, rh) of each node's canonical-orientation k-mer (O(k) vector ops)."""
+    fh = jnp.zeros(hi.shape, _U64)
+    rh = jnp.zeros(hi.shape, _U64)
+    seeds = nthash.seed_table()
+    cseeds = nthash.cseed_table()
+    # unrolled python loop (k is static and small); XLA fuses the chain
+    for j in range(k):
+        b = kp.base_at(hi, lo, j, k)
+        fh = fh ^ _rol(seeds[b], (k - 1 - j) % 64)
+        rh = rh ^ _rol(cseeds[b], j % 64)
+    return fh, rh
+
+
+def _rol(x, s: int):
+    s = s % 64
+    if s == 0:
+        return x
+    return (x << _U64(s)) | (x >> _U64(64 - s))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "key_bits", "abundance_min"))
+def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
+                         abundance_min: int):
+    """Probe successors for both orientations of every node.
+
+    Returns (nsucc[2N], chain_next[2N], node_counts[N]).  Oriented index
+    a = 2*i + o with o=0 the canonical orientation, o=1 its reverse
+    complement.  chain_next[a] = oriented successor index when the a->succ
+    edge is a contractible chain edge, else -1.
+    """
+    N = hi.shape[0]
+    mask = _U64((1 << key_bits) - 1)
+    # padding entries (both words all-ones) can never equal a left-aligned
+    # real k-mer for k <= 63, so they sort to the end and never match probes
+    valid = ~((hi == _U64(NODE_SENTINEL)) & (lo == _U64(NODE_SENTINEL)))
+
+    fh0, rh0 = _node_hashes(hi, lo, k)
+    node_keys = jnp.minimum(fh0, rh0) & mask
+    node_counts = sp.query(spec, node_keys)
+
+    rhi, rlo = kp.revcomp_packed(hi, lo, k)
+
+    nsucc = []
+    succ_idx = []
+    succ_orient = []
+    seeds = nthash.seed_table()
+    cseeds = nthash.cseed_table()
+    for o in range(2):
+        ohi = hi if o == 0 else rhi
+        olo = lo if o == 0 else rlo
+        ofh = fh0 if o == 0 else rh0
+        orh = rh0 if o == 0 else fh0
+        out_b = kp.first_base(ohi, olo, k)
+
+        exist = []
+        tgt_j = []
+        tgt_p = []
+        for X in range(4):
+            sfh = _rol(ofh, 1) ^ _rol(seeds[out_b], k % 64) ^ seeds[X]
+            srh = _rol(orh, 63) ^ _rol(cseeds[out_b], 63) ^ _rol(cseeds[X], (k - 1) % 64)
+            skey = jnp.minimum(sfh, srh) & mask
+            scnt = sp.query(spec, skey)
+            e = (scnt >= abundance_min) & valid
+            shi, slo = kp.shift_in_base(ohi, olo, jnp.uint64(X), k)
+            srchi, srclo = kp.revcomp_packed(shi, slo, k)
+            schi, sclo, sflip = kp.canonicalize(shi, slo, srchi, srclo)
+            j = kp.searchsorted2(hi, lo, schi, sclo)
+            jc = jnp.minimum(j, N - 1)
+            found = (hi[jc] == schi) & (lo[jc] == sclo)
+            exist.append(e)
+            tgt_j.append(jnp.where(found, jc, -1))
+            tgt_p.append(sflip.astype(jnp.int32))
+        ecount = sum(e.astype(jnp.int32) for e in exist)
+        # unique successor (when ecount == 1)
+        uj = sum(jnp.where(e, j, 0) for e, j in zip(exist, tgt_j))
+        up = sum(jnp.where(e, p, 0) for e, p in zip(exist, tgt_p))
+        nsucc.append(ecount)
+        succ_idx.append(uj)
+        succ_orient.append(up)
+
+    # interleave to oriented arrays [2N]: a = 2*i + o
+    nsucc_a = jnp.stack(nsucc, axis=1).reshape(-1)
+    sj = jnp.stack(succ_idx, axis=1).reshape(-1)
+    sp_ = jnp.stack(succ_orient, axis=1).reshape(-1)
+
+    target = jnp.where(sj >= 0, 2 * sj + sp_, -1).astype(jnp.int32)
+    flip_target = jnp.where(sj >= 0, 2 * sj + (1 - sp_), -1)
+    ft = jnp.maximum(flip_target, 0)
+    ok = (
+        (nsucc_a == 1)
+        & (target >= 0)
+        & (nsucc_a[ft] == 1)  # indeg(b) == outdeg(flip(b)) == 1
+    )
+    a_idx = jnp.arange(2 * N, dtype=jnp.int32)
+    # no self-chain (homopolymer 1-cycles handled as cycles) and no
+    # immediate hairpin a -> flip(a)
+    ok = ok & (target != a_idx) & (target != (a_idx ^ 1))
+    chain_next = jnp.where(ok, target, -1)
+    return nsucc_a, chain_next, node_counts
+
+
+@jax.jit
+def contract_paths(chain_next: jax.Array):
+    """Pointer-jumping contraction over the oriented chain forest.
+
+    Returns (head[2N], dist[2N], is_tail[2N]).  Cycles are cut at their
+    minimum oriented index before the final doubling.
+    """
+    M = chain_next.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    rounds = int(np.ceil(np.log2(max(M, 2)))) + 1
+
+    # prev[b] = a for each chain edge a->b; chain targets are unique (the
+    # indeg-1 condition), so scatter conflicts cannot occur.  Masked lanes
+    # write out of bounds and are dropped.
+    src_ok = chain_next >= 0
+    prev = jnp.full((M,), -1, chain_next.dtype).at[
+        jnp.where(src_ok, chain_next, M)
+    ].set(idx, mode="drop")
+
+    has_prev = prev >= 0
+    par0 = jnp.where(has_prev, prev, idx)
+
+    # phase 1: cycle detection (reached a head within M steps?)
+    par = par0
+    reached = ~has_prev
+    for _ in range(rounds):
+        reached = reached | reached[par]
+        par = par[par]
+    in_cycle = ~reached
+
+    # phase 2: min oriented index per cycle
+    par = par0
+    lab = idx
+    for _ in range(rounds):
+        lab = jnp.minimum(lab, lab[par])
+        par = par[par]
+    cut = in_cycle & (lab == idx)
+    has_prev = has_prev & ~cut
+
+    # phase 3: head + offset doubling
+    par = jnp.where(has_prev, prev, idx)
+    off = has_prev.astype(jnp.int32)
+    for _ in range(rounds):
+        off = off + off[par]
+        par = par[par]
+    head = par
+    dist = off
+
+    is_tail = (chain_next < 0) | (
+        in_cycle & (chain_next == head)
+    )
+    return head, dist, is_tail
+
+
+@jax.jit
+def path_summary(head, dist, is_tail, hi, lo, rhi, rlo):
+    """Per-path bookkeeping: tail index, length, keep-mask for mirror dedup.
+
+    hi/lo/rhi/rlo are the node-level packed k-mers; oriented kmer of
+    a = 2i+o is (hi,lo)[i] if o==0 else (rhi,rlo)[i].
+    """
+    M = head.shape[0]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    tail_of = jnp.zeros((M,), jnp.int32).at[
+        jnp.where(is_tail, head, M)
+    ].set(idx, mode="drop")
+    is_head = head == idx
+
+    def obits(a):
+        i, o = a >> 1, a & 1
+        return (
+            jnp.where(o == 0, hi[i], rhi[i]),
+            jnp.where(o == 0, lo[i], rlo[i]),
+        )
+
+    a = jnp.arange(M)
+    h_hi, h_lo = obits(a)
+    mirror = tail_of ^ 1  # flip orientation of the tail
+    m_hi, m_lo = obits(mirror)
+    keep = is_head & ((h_hi < m_hi) | ((h_hi == m_hi) & (h_lo <= m_lo)))
+    pathlen = jnp.where(is_head, dist[tail_of] + 1, 0)
+    return tail_of, pathlen, keep
+
+
+# --------------------------------------------------------------------------
+# Host assembly: sequences, medians, links, FASTA
+# --------------------------------------------------------------------------
+
+def median_int(values: np.ndarray) -> int:
+    """Reference median (Utility.cpp:27-39), truncated to int on store
+    (Contig.median_abundance is an int, Utility.h:28-55)."""
+    n = len(values)
+    if n == 0:
+        return 0
+    v = np.sort(values)
+    if n % 2 == 0:
+        return int((int(v[n // 2 - 1]) + int(v[n // 2])) / 2.0)
+    return int(v[n // 2])
+
+
+@dataclass
+class Unitig:
+    seq: str
+    median_abundance: int
+
+
+@dataclass
+class UnitigGraph:
+    k: int
+    unitigs: list[Unitig] = field(default_factory=list)
+    # signed-id convention of the reference (core/unitig_graph.h:25-50):
+    # +.(id+1) = enter unitig id forward; -(id+1) = enter reversed
+    after: list[list[int]] = field(default_factory=list)
+    before: list[list[int]] = field(default_factory=list)
+    n_palindromes: int = 0
+
+    def write_fasta(self, path: str) -> None:
+        """Reference dump format (contig_assembly.cpp:600-629)."""
+        with open(path, "w") as f:
+            for i, u in enumerate(self.unitigs):
+                kc = u.median_abundance * (len(u.seq) - self.k + 1)
+                f.write(f">{i} LN:i:{len(u.seq)} KC:i:{kc} km:f:{u.median_abundance}")
+                for t in self.after[i]:
+                    f.write(f" L:+:{t - 1}:+" if t > 0 else f" L:+:{-t - 1}:-")
+                for t in self.before[i]:
+                    f.write(f" L:-:{t - 1}:+" if t > 0 else f" L:-:{-t - 1}:-")
+                f.write(f"\n{u.seq}\n")
+
+
+def assemble_unitigs(
+    spec: sp.Spectrum,
+    batches: Iterable[fastq.Batch],
+    params: cfg.ContigerParams,
+    key_bits: int,
+) -> UnitigGraph:
+    k = params.k
+    hi_np, lo_np = collect_nodes(spec, batches, k, key_bits,
+                                 params.kmer_abundance_min)
+    N = len(hi_np)
+    log(f"[Contiger] {N} distinct solid k-mers")
+    if N == 0:
+        return UnitigGraph(k=k)
+
+    # pad to the next power of two so jit programs are reused across
+    # datasets of similar size (sentinel nodes are masked inside)
+    Np = 1 << max(int(np.ceil(np.log2(max(N, 1024)))), 10)
+    hi_pad = np.full(Np, NODE_SENTINEL, np.uint64)
+    lo_pad = np.full(Np, NODE_SENTINEL, np.uint64)
+    hi_pad[:N] = hi_np
+    lo_pad[:N] = lo_np
+    hi = jnp.asarray(hi_pad)
+    lo = jnp.asarray(lo_pad)
+    nsucc, chain_next, node_counts = build_oriented_graph(
+        spec, hi, lo, k, key_bits, params.kmer_abundance_min)
+    head, dist, is_tail = contract_paths(chain_next)
+    rhi, rlo = kp.revcomp_packed(hi, lo, k)
+    tail_of, pathlen, keep = path_summary(head, dist, is_tail, hi, lo, rhi, rlo)
+
+    # gather per-oriented-node records of kept paths and sort by (head, dist)
+    a = np.arange(2 * Np)
+    keep_np = np.asarray(keep)
+    head_np = np.asarray(head)
+    member = keep_np[head_np]
+    member &= (a >> 1) < N  # drop sentinel padding nodes
+    heads = head_np[member]
+    dists = np.asarray(dist)[member]
+    ai = a[member]
+    node_i = ai >> 1
+    orient = ai & 1
+
+    order = np.lexsort((dists, heads))
+    heads, dists, node_i, orient = (
+        heads[order], dists[order], node_i[order], orient[order])
+
+    counts_np = np.asarray(node_counts)
+    hi_host, lo_host = hi_np, lo_np
+    rhi_np, rlo_np = np.asarray(rhi), np.asarray(rlo)
+
+    # oriented packed kmers of members
+    ohi = np.where(orient == 0, hi_host[node_i], rhi_np[node_i])
+    olo = np.where(orient == 0, lo_host[node_i], rlo_np[node_i])
+
+    # last base of each member's oriented kmer
+    bits = 2 * k
+    if bits <= 64:
+        lastb = ((ohi >> np.uint64(64 - bits)) & np.uint64(3)).astype(np.uint8)
+    else:
+        lastb = ((olo >> np.uint64(128 - bits)) & np.uint64(3)).astype(np.uint8)
+
+    starts = np.flatnonzero(np.r_[True, heads[1:] != heads[:-1]])
+    ends = np.r_[starts[1:], len(heads)]
+
+    unitigs: list[Unitig] = []
+    first_kmers: list[str] = []
+    last_kmers: list[str] = []
+    seen: dict[str, int] = {}
+    n_palin = 0
+    for s, e in zip(starts, ends):
+        codes0 = dna.unpack_kmer(int(ohi[s]), int(olo[s]), k)
+        seq = dna.decode(codes0) + dna.decode(lastb[s + 1 : e])
+        med = median_int(counts_np[node_i[s:e]])
+        canon_seq = min(seq, dna.revcomp(seq))
+        if canon_seq in seen:
+            continue  # palindromic-path mirror duplicate
+        seen[canon_seq] = len(unitigs)
+        if dna.is_palindrome(seq):
+            n_palin += 1
+        unitigs.append(Unitig(seq=seq, median_abundance=med))
+        first_kmers.append(seq[:k])
+        last_kmers.append(seq[-k:])
+
+    # link map: first kmer -> +(id+1), RC(last kmer) -> -(id+1)
+    # (track_kmer_worker, contig_assembly.cpp:956-1010; palindromic unitigs
+    # collapse to the + entry because the keys coincide)
+    kmer2u: dict[str, int] = {}
+    for i, u in enumerate(unitigs):
+        kmer2u[dna.revcomp(last_kmers[i])] = -(i + 1)
+        kmer2u[first_kmers[i]] = i + 1
+
+    graph = UnitigGraph(k=k, unitigs=unitigs, n_palindromes=n_palin)
+    for i, u in enumerate(unitigs):
+        aft = []
+        fix = u.seq[-(k - 1):]
+        for X in "ACGT":
+            t = kmer2u.get(fix + X)
+            if t is not None:
+                aft.append(t)
+        bef = []
+        fix = dna.revcomp(u.seq[: k - 1])
+        for X in "TGCA":
+            t = kmer2u.get(fix + X)
+            if t is not None:
+                bef.append(t)
+        graph.after.append(aft)
+        graph.before.append(bef)
+    return graph

@@ -93,6 +93,10 @@ def build_spectrum(
         capacity = sizing.nslots  # same memory scaling rule as qf_init
     if buf_capacity is None:
         buf_capacity = max(4 * windows, 1 << 20)
+    if buf_capacity < 2 * windows:
+        raise ValueError(
+            f"buf_capacity {buf_capacity} must be >= 2x windows/batch "
+            f"({windows}) so one batch of novel keys always fits")
 
     spec = sp.make(capacity, buf_capacity)
     stats = BuildStats()

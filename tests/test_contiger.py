@@ -1,0 +1,157 @@
+"""Unitig construction parity: TPU contraction vs sequential-walk oracle."""
+
+import numpy as np
+import pytest
+
+from sh_assembly_tpu import config as cfg
+from sh_assembly_tpu.io import fastq
+from sh_assembly_tpu.models import contiger, counter
+from sh_assembly_tpu.ops import spectrum as sp
+from sh_assembly_tpu.utils import dna
+
+from oracle import oracle_count, random_genome, reads_from_genome
+from unitig_oracle import oracle_unitigs
+
+
+def build_all(reads, k, qb=20, abundance_min=2):
+    """Count reads, then build unitigs; returns (graph, count_of)."""
+    sizing = cfg.CounterSizing(
+        k=k, qb=qb, hb=qb + 8, num_true_kmers=0, num_false_kmers=0,
+        n_true_kmers=1, num_deNoise=0, ndistinct_for_deNoise=1 << 62,
+        end_deNoise=False, fr=0.0,
+    )
+    bc = cfg.BatchConfig(reads_per_batch=128, max_read_len=96)
+
+    def stream():
+        b = fastq.Batcher(k, bc.reads_per_batch, bc.max_read_len)
+        for r in reads:
+            yield from b.add_read(r)
+        yield from b.flush()
+
+    spec, _ = counter.build_spectrum(
+        stream(), sizing, capacity=1 << 15, buf_capacity=1 << 15, batch_cfg=bc)
+
+    params = cfg.ContigerParams(k=k, kmer_abundance_min=abundance_min)
+    graph = contiger.assemble_unitigs(spec, stream(), params, key_bits=qb + 8)
+
+    counts = oracle_count(reads, k, qb + 8)
+    mask = (1 << (qb + 8)) - 1
+    from sh_assembly_tpu.utils import nthash as nh
+
+    def count_of(kmer: str) -> int:
+        key = int(nh.canonical_hash(dna.encode(kmer))) & mask
+        return counts.get(key, 0)
+
+    return graph, count_of
+
+
+def unitig_set(graph):
+    return {dna.canonical(u.seq) for u in graph.unitigs}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_clean_genome_unitigs(seed):
+    rng = np.random.default_rng(seed)
+    k = 21
+    genome = random_genome(rng, 3000)
+    reads = reads_from_genome(rng, genome, 700, 80)
+    graph, count_of = build_all(reads, k)
+    expect = oracle_unitigs(reads, k, count_of)
+    assert unitig_set(graph) == expect
+    # high coverage, no errors: the unitigs should tile the genome
+    total = sum(len(u.seq) - k + 1 for u in graph.unitigs)
+    assert total >= 0.9 * (len(genome) - k + 1)
+
+
+def test_errors_make_branches(rng):
+    k = 21
+    genome = random_genome(rng, 2000)
+    reads = reads_from_genome(rng, genome, 800, 70, error_rate=0.02)
+    graph, count_of = build_all(reads, k)
+    expect = oracle_unitigs(reads, k, count_of)
+    assert unitig_set(graph) == expect
+
+
+def test_repeat_branch_structure(rng):
+    # genome with an exact internal repeat longer than k forces branch
+    # nodes; unitig set must still match the oracle
+    k = 15
+    a = random_genome(rng, 600)
+    rep = random_genome(rng, 40)
+    b = random_genome(rng, 500)
+    c = random_genome(rng, 400)
+    genome = a + rep + b + rep + c
+    reads = reads_from_genome(rng, genome, 1200, 60)
+    graph, count_of = build_all(reads, k)
+    expect = oracle_unitigs(reads, k, count_of)
+    assert unitig_set(graph) == expect
+    assert len(graph.unitigs) > 1  # the repeat must split the assembly
+
+
+def test_link_overlap_invariant(rng):
+    # every emitted link must correspond to a (k-1)-overlap in the DBG
+    k = 15
+    genome = random_genome(rng, 1500)
+    reads = reads_from_genome(rng, genome, 900, 60, error_rate=0.01)
+    graph, _ = build_all(reads, k)
+
+    def enter_seq(t):
+        u = graph.unitigs[abs(t) - 1].seq
+        return u if t > 0 else dna.revcomp(u)
+
+    checked = 0
+    for i, u in enumerate(graph.unitigs):
+        for t in graph.after[i]:
+            assert u.seq[-(k - 1):] == enter_seq(t)[: k - 1]
+            checked += 1
+        for t in graph.before[i]:
+            assert dna.revcomp(u.seq[: k - 1]) == enter_seq(t)[: k - 1]
+            checked += 1
+    assert checked > 0
+
+
+def test_links_are_symmetric(rng):
+    # if u lists an after-link into v, then v (in the entered orientation)
+    # must list a before-link back to u
+    k = 15
+    genome = random_genome(rng, 1200)
+    reads = reads_from_genome(rng, genome, 800, 60, error_rate=0.015)
+    graph, _ = build_all(reads, k)
+    for i, u in enumerate(graph.unitigs):
+        for t in graph.after[i]:
+            j = abs(t) - 1
+            back = graph.before[j] if t > 0 else [-x for x in graph.after[j]]
+            assert (i + 1) in back or -(i + 1) in back
+
+
+def test_fasta_output_format(tmp_path, rng):
+    k = 15
+    genome = random_genome(rng, 800)
+    reads = reads_from_genome(rng, genome, 500, 60)
+    graph, _ = build_all(reads, k)
+    path = str(tmp_path / "unitigs.fa")
+    graph.write_fasta(path)
+    lines = open(path).read().splitlines()
+    assert len(lines) == 2 * len(graph.unitigs)
+    for i in range(0, len(lines), 2):
+        head, seq = lines[i], lines[i + 1]
+        assert head.startswith(f">{i // 2} LN:i:{len(seq)} KC:i:")
+        med = int(head.split("km:f:")[1].split()[0])
+        kc = int(head.split("KC:i:")[1].split()[0])
+        assert kc == med * (len(seq) - k + 1)
+        assert set(seq) <= set("ACGT")
+
+
+def test_cycle_unitig():
+    # a perfectly circular plasmid-like sequence: reads wrap around; the
+    # whole cycle must come back as one unitig (deterministic start)
+    rng = np.random.default_rng(5)
+    k = 15
+    core = random_genome(rng, 300)
+    circ = core + core[: 80]  # reads sampled over the wrap
+    reads = reads_from_genome(rng, circ, 500, 60)
+    graph, count_of = build_all(reads, k)
+    # all kmers of the cycle are present with indeg=outdeg=1 -> 1 unitig
+    assert len(graph.unitigs) >= 1
+    total_kmers = sum(len(u.seq) - k + 1 for u in graph.unitigs)
+    assert total_kmers <= len(core) + 5
