@@ -1,0 +1,298 @@
+// Native chunked FASTQ/FASTA reader: the host-side ingestion runtime.
+//
+// TPU-native equivalent of the reference's multithreaded reader stack
+// (seqFile_batch/fastq_read_parts/getFileReader, cqf/CQF_mt.h:334-412,
+// 735-816, 933-957): N producer threads stream files (plain or gzip via
+// zlib), split records, 2-bit encode, apply the N-segmentation rule of
+// reads_to_kmers (split at an N at offset >= k of the current segment;
+// earlier Ns stay embedded with code 4), tile long segments with k-1
+// overlap, and hand fixed-shape (B, L) code batches to Python through a
+// C ABI (ctypes, no pybind11 needed).
+//
+// Build: make -C cpp   ->  libshasm.so
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr uint8_t CODE_N = 4;
+constexpr uint8_t CODE_PAD = 5;
+constexpr size_t CHUNK = 1u << 23;  // 8 MB parts, like the reference
+
+struct Segment {
+  std::vector<uint8_t> codes;
+};
+
+uint8_t g_ascii2code[256];
+
+void init_tables() {
+  static bool done = false;
+  if (done) return;
+  memset(g_ascii2code, CODE_N, sizeof(g_ascii2code));
+  g_ascii2code['A'] = g_ascii2code['a'] = 0;
+  g_ascii2code['C'] = g_ascii2code['c'] = 1;
+  g_ascii2code['G'] = g_ascii2code['g'] = 2;
+  g_ascii2code['T'] = g_ascii2code['t'] = 3;
+  done = true;
+}
+
+class SeqFile {
+ public:
+  explicit SeqFile(const std::string& path) {
+    gz_ = gzopen(path.c_str(), "rb");
+    if (gz_) gzbuffer(gz_, 1u << 24);
+  }
+  ~SeqFile() {
+    if (gz_) gzclose(gz_);
+  }
+  bool ok() const { return gz_ != nullptr; }
+  int read(char* buf, unsigned len) { return gzread(gz_, buf, len); }
+
+ private:
+  gzFile gz_ = nullptr;  // zlib transparently handles plain files too
+};
+
+class Reader {
+ public:
+  Reader(std::vector<std::string> paths, int k, int n_threads)
+      : paths_(std::move(paths)), k_(k) {
+    init_tables();
+    n_threads = std::max(1, n_threads);
+    next_file_.store(0);
+    active_ = 0;
+    for (int i = 0; i < n_threads; i++) {
+      active_++;
+      threads_.emplace_back([this] { worker(); });
+    }
+  }
+
+  ~Reader() {
+    {
+      std::lock_guard<std::mutex> g(mu_);
+      stop_ = true;
+    }
+    cv_space_.notify_all();
+    for (auto& t : threads_) t.join();
+  }
+
+  // Fill up to B rows of (B, L) codes + lengths.  Long segments tile into
+  // rows with k-1 overlap (identical to io/fastq.Batcher); a segment that
+  // doesn't fit in the current batch resumes in the next call.  Returns
+  // rows written; 0 means end of stream.
+  int next_batch(uint8_t* codes, int32_t* lengths, int B, int L) {
+    int row = 0;
+    const size_t step = (size_t)L - k_ + 1;
+    while (row < B) {
+      if (!has_pending_) {
+        std::unique_lock<std::mutex> lk(mu_);
+        if (segments_.empty()) {
+          if (active_ == 0) break;
+          cv_data_.wait(lk,
+                        [this] { return !segments_.empty() || active_ == 0; });
+          continue;
+        }
+        pending_ = std::move(segments_.front());
+        segments_.pop_front();
+        queued_bytes_ -= pending_.codes.size();
+        pending_off_ = 0;
+        has_pending_ = true;
+        cv_space_.notify_all();
+      }
+      const size_t n = pending_.codes.size();
+      while (row < B) {
+        const size_t off = pending_off_;
+        if (off + k_ > n) {
+          has_pending_ = false;
+          break;
+        }
+        const size_t len = std::min((size_t)L, n - off);
+        uint8_t* dst = codes + (size_t)row * L;
+        memcpy(dst, pending_.codes.data() + off, len);
+        if ((int)len < L) memset(dst + len, CODE_PAD, L - len);
+        lengths[row] = (int32_t)len;
+        row++;
+        if (off + len >= n) {
+          has_pending_ = false;
+          break;
+        }
+        pending_off_ = off + step;
+      }
+    }
+    return row;
+  }
+
+  bool failed() const { return failed_.load(); }
+
+ private:
+  void worker() {
+    std::vector<char> buf(CHUNK + (1u << 16));
+    std::string carry;
+    for (;;) {
+      int fi = next_file_.fetch_add(1);
+      if (fi >= (int)paths_.size()) break;
+      SeqFile f(paths_[fi]);
+      if (!f.ok()) {
+        failed_.store(true);
+        break;
+      }
+      carry.clear();
+      bool fasta = false, first = true;
+      std::string fasta_seq;
+      for (;;) {
+        int got = f.read(buf.data(), CHUNK);
+        if (got < 0) {
+          failed_.store(true);
+          break;
+        }
+        if (got == 0) {
+          if (!carry.empty()) parse_block(carry, fasta, first, fasta_seq, true);
+          else if (fasta && !fasta_seq.empty()) emit_read(fasta_seq), fasta_seq.clear();
+          break;
+        }
+        carry.append(buf.data(), got);
+        parse_block(carry, fasta, first, fasta_seq, false);
+        {
+          std::unique_lock<std::mutex> lk(mu_);
+          cv_space_.wait(lk, [this] {
+            return queued_bytes_ < (64u << 20) || stop_;
+          });
+          if (stop_) break;
+        }
+      }
+      if (stop_) break;
+    }
+    std::lock_guard<std::mutex> g(mu_);
+    active_--;
+    cv_data_.notify_all();
+  }
+
+  // Parse complete lines out of `carry` (keeping any trailing partial line),
+  // dispatching FASTQ 4-line records or FASTA multi-line records.
+  void parse_block(std::string& carry, bool& fasta, bool& first,
+                   std::string& fasta_seq, bool eof) {
+    size_t pos = 0;
+    int fq_phase = -1;  // within a 4-line fastq record: 0 hdr,1 seq,2 plus,3 qual
+    if (first && !carry.empty()) {
+      fasta = carry[0] == '>';
+      first = false;
+    }
+    std::vector<std::pair<size_t, size_t>> lines;
+    for (;;) {
+      size_t nl = carry.find('\n', pos);
+      if (nl == std::string::npos) break;
+      lines.emplace_back(pos, nl - pos);
+      pos = nl + 1;
+    }
+    if (eof && pos < carry.size()) {
+      lines.emplace_back(pos, carry.size() - pos);
+      pos = carry.size();
+    }
+    if (fasta) {
+      for (auto [s, l] : lines) {
+        while (l && (carry[s + l - 1] == '\r')) l--;
+        if (l == 0) continue;
+        if (carry[s] == '>') {
+          if (!fasta_seq.empty()) {
+            emit_read(fasta_seq);
+            fasta_seq.clear();
+          }
+        } else {
+          fasta_seq.append(carry, s, l);
+        }
+      }
+      if (eof && !fasta_seq.empty()) {
+        emit_read(fasta_seq);
+        fasta_seq.clear();
+      }
+    } else {
+      // fastq: consume only complete 4-line groups; leave the rest
+      size_t complete = lines.size() / 4 * 4;
+      for (size_t i = 0; i < complete; i += 4) {
+        auto [s, l] = lines[i + 1];
+        while (l && (carry[s + l - 1] == '\r')) l--;
+        if (l) {
+          std::string seq(carry, s, l);
+          emit_read(seq);
+        }
+      }
+      if (complete < lines.size()) pos = lines[complete].first;
+      else if (!lines.empty()) pos = lines[complete - 1].first + lines[complete - 1].second + 1;
+      else pos = 0;
+      (void)fq_phase;
+    }
+    carry.erase(0, pos);
+  }
+
+  // Encode + N-segment one read and queue its segments.
+  void emit_read(const std::string& seq) {
+    const int k = k_;
+    const size_t n = seq.size();
+    std::vector<uint8_t> codes(n);
+    for (size_t i = 0; i < n; i++) codes[i] = g_ascii2code[(uint8_t)seq[i]];
+    size_t start = 0;
+    std::vector<Segment> segs;
+    for (size_t i = 0; i < n; i++) {
+      if (codes[i] == CODE_N && i >= start + k) {
+        segs.push_back({std::vector<uint8_t>(codes.begin() + start,
+                                             codes.begin() + i)});
+        start = i + 1;
+      }
+    }
+    if (n >= start + k)
+      segs.push_back({std::vector<uint8_t>(codes.begin() + start, codes.end())});
+    if (segs.empty()) return;
+    std::lock_guard<std::mutex> g(mu_);
+    for (auto& s : segs) {
+      if ((int)s.codes.size() < k) continue;
+      queued_bytes_ += s.codes.size();
+      segments_.push_back(std::move(s));
+    }
+    cv_data_.notify_all();
+  }
+
+  std::vector<std::string> paths_;
+  int k_;
+  std::vector<std::thread> threads_;
+  std::atomic<int> next_file_;
+  std::atomic<bool> failed_{false};
+  std::mutex mu_;
+  std::condition_variable cv_data_, cv_space_;
+  std::deque<Segment> segments_;
+  Segment pending_;
+  size_t pending_off_ = 0;
+  bool has_pending_ = false;
+  size_t queued_bytes_ = 0;
+  int active_ = 0;
+  bool stop_ = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* shr_open(const char** paths, int n_paths, int k, int n_threads) {
+  std::vector<std::string> v;
+  for (int i = 0; i < n_paths; i++) v.emplace_back(paths[i]);
+  return new Reader(std::move(v), k, n_threads);
+}
+
+int shr_next_batch(void* h, uint8_t* codes, int32_t* lengths, int B, int L) {
+  return static_cast<Reader*>(h)->next_batch(codes, lengths, B, L);
+}
+
+int shr_failed(void* h) { return static_cast<Reader*>(h)->failed() ? 1 : 0; }
+
+void shr_close(void* h) { delete static_cast<Reader*>(h); }
+
+}  // extern "C"

@@ -16,4 +16,20 @@ import jax
 # other jax use (TPU emulates 64-bit integer ops with 32-bit pairs).
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the CLIs are short-lived processes and the
+# counting/contiger programs are large; caching removes ~minutes of XLA
+# compile time from every run after the first.
+import os as _os
+
+_cache = _os.environ.get(
+    "SH_ASSEMBLY_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "sh_assembly_tpu_jax"),
+)
+try:
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a requirement
+    pass
+
 __version__ = "0.1.0"

@@ -65,9 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     files = fastq.read_file_list(args.input)
     batch_cfg = cfg.BatchConfig()
+    from ..io import native
 
     def stream():
-        return fastq.batches_from_files(
+        return native.batches_from_files(
             files, args.k, args.format, batch_cfg.reads_per_batch,
             batch_cfg.max_read_len)
 

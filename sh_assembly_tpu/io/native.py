@@ -1,0 +1,106 @@
+"""ctypes bindings for the native C++ reader (cpp/fastq_reader.cpp).
+
+Builds lazily via `make -C cpp` on first use if the toolchain is present;
+falls back to the pure-Python reader otherwise (io/fastq.py — identical
+semantics, validated against each other in tests/test_native_reader.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator
+
+import numpy as np
+
+from ..utils.logging import log
+from . import fastq as pyfastq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_LIB_PATH = os.path.join(_REPO, "cpp", "build", "libshasm.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(_REPO, "cpp")],
+                capture_output=True, check=True, timeout=120,
+            )
+        except Exception as e:  # toolchain missing: stay on the Python path
+            log(f"[io] native reader unavailable ({e}); using Python reader")
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        log(f"[io] failed to load {_LIB_PATH}: {e}")
+        return None
+    lib.shr_open.restype = ctypes.c_void_p
+    lib.shr_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.shr_next_batch.restype = ctypes.c_int
+    lib.shr_next_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.shr_failed.restype = ctypes.c_int
+    lib.shr_failed.argtypes = [ctypes.c_void_p]
+    lib.shr_close.restype = None
+    lib.shr_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def batches_from_files(
+    paths: list[str],
+    k: int,
+    fmode: str = "auto",
+    reads_per_batch: int = 16384,
+    max_read_len: int = 160,
+    n_threads: int = 4,
+) -> Iterator[pyfastq.Batch]:
+    """Native batch stream; falls back to the Python reader for bzip2 or a
+    missing toolchain."""
+    lib = _load()
+    if lib is None or fmode == "b" or any(p.endswith(".bz2") for p in paths):
+        yield from pyfastq.batches_from_files(
+            paths, k, fmode, reads_per_batch, max_read_len)
+        return
+
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    h = lib.shr_open(arr, len(paths), k, n_threads)
+    if not h:
+        raise RuntimeError("shr_open failed")
+    B, L = reads_per_batch, max_read_len
+    try:
+        while True:
+            codes = np.full((B, L), pyfastq._PAD, dtype=np.uint8)
+            lengths = np.zeros(B, dtype=np.int32)
+            n = lib.shr_next_batch(
+                h,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                B, L,
+            )
+            if n <= 0:
+                if lib.shr_failed(h):
+                    raise IOError("native reader failed (bad file?)")
+                break
+            yield pyfastq.Batch(codes, lengths, n)
+    finally:
+        lib.shr_close(h)

@@ -120,6 +120,7 @@ def build_spectrum(
             spec = _merge_keep(spec)
             stats.merges += 1
             nbuf_bound = 0
+            sp.check_overflow(spec)
 
         if rounds_left > 0:
             # The reference checks its (exactly maintained) distinct counter
@@ -144,6 +145,7 @@ def build_spectrum(
 
     spec = _merge_keep(spec)
     stats.merges += 1
+    sp.check_overflow(spec)
     if sizing.end_deNoise:
         spec = _sweep(spec)
         stats.sweeps += 1
@@ -162,8 +164,10 @@ def build_spectrum_from_files(
     batch_cfg: cfg.BatchConfig | None = None,
     **kw,
 ) -> tuple[sp.Spectrum, BuildStats]:
+    from ..io import native
+
     batch_cfg = batch_cfg or cfg.BatchConfig()
-    stream = fastq.batches_from_files(
+    stream = native.batches_from_files(
         files, sizing.k, fmode, batch_cfg.reads_per_batch, batch_cfg.max_read_len
     )
     return build_spectrum(stream, sizing, batch_cfg=batch_cfg, **kw)

@@ -155,6 +155,8 @@ def merge(spec: Spectrum, drop_singletons: bool = False) -> Spectrum:
     if drop_singletons:
         keep = keep & (cnt_first >= 2)
     rank = jnp.cumsum(keep) - 1
+    # NOTE: n_main may exceed C on overflow; entries past C are dropped by
+    # the scatter.  Callers must check n_main <= capacity (check_overflow).
     dest = jnp.where(keep, rank, total - 1)
 
     keys = jnp.full((C,), SENTINEL, dtype=jnp.uint64)
@@ -209,6 +211,16 @@ def query_is_traveled(spec: Spectrum, keys: jax.Array):
     counts = jnp.where(found, spec.counts[pos], 0)
     was = jnp.where(found, spec.traveled[pos] != 0, False)
     return counts, was
+
+
+def check_overflow(spec: Spectrum) -> None:
+    """Raise if a merge produced more distinct keys than the capacity holds
+    (the reference would silently corrupt memory here, gqf xnslots)."""
+    n = int(np.max(np.asarray(spec.n_main)))
+    if n > spec.capacity:
+        raise RuntimeError(
+            f"spectrum overflow: {n} distinct keys > capacity "
+            f"{spec.capacity}; raise qb / capacity")
 
 
 def to_host(spec: Spectrum):

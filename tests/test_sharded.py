@@ -1,0 +1,78 @@
+"""Sharded counting on a virtual 8-device mesh == single-device counting."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sh_assembly_tpu.parallel import sharded
+from sh_assembly_tpu.ops import spectrum as sp
+from sh_assembly_tpu.models import counter
+from sh_assembly_tpu import config as cfg
+
+from oracle import oracle_count, random_reads
+
+
+K = 21
+QB = 12  # key_bits = 20
+
+
+def _batchify(reads, B, L):
+    from sh_assembly_tpu.io import fastq
+
+    batcher = fastq.Batcher(K, B, L)
+    out = []
+    for r in reads:
+        out.extend(batcher.add_read(r))
+    out.extend(batcher.flush())
+    return out
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_sharded_matches_oracle(rng, n_shards):
+    if len(jax.devices()) < n_shards:
+        pytest.skip("not enough devices")
+    reads = random_reads(rng, 64, 90)
+    batches = _batchify(reads, 16, 96)
+
+    sc = sharded.ShardedCounter(
+        mesh=sharded.make_mesh(n_shards), k=K, key_bits=QB + 8,
+        local_capacity=8192, local_buf_capacity=8192)
+    spec = sc.init()
+    step = sc.step_fn()
+    merge = sc.merge_fn()
+    for b in batches:
+        codes, lengths = sc.shard_batch(b.codes, b.lengths)
+        spec = step(spec, codes, lengths)
+        spec = merge(spec)
+
+    keys, counts = sc.gather_spectrum(spec)
+    got = dict(zip(keys.tolist(), counts.tolist()))
+    expect = oracle_count(reads, K, QB + 8)
+    assert got == expect
+
+    # global key order must equal the single-store sorted order
+    assert (np.diff(keys.astype(np.int64)) > 0).all()
+
+    nd, ne = sc.stats_fn()(spec)
+    assert nd == len(expect)
+    assert ne == sum(expect.values())
+
+
+def test_sharded_sweep(rng):
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    reads = random_reads(rng, 48, 80)
+    batches = _batchify(reads, 16, 96)
+    sc = sharded.ShardedCounter(
+        mesh=sharded.make_mesh(4), k=K, key_bits=QB + 8,
+        local_capacity=8192, local_buf_capacity=8192)
+    spec = sc.init()
+    step = sc.step_fn()
+    for b in batches:
+        codes, lengths = sc.shard_batch(b.codes, b.lengths)
+        spec = step(spec, codes, lengths)
+    spec = sc.merge_fn(drop_singletons=True)(spec)
+    keys, counts = sc.gather_spectrum(spec)
+    expect = {k: v for k, v in oracle_count(reads, K, QB + 8).items() if v >= 2}
+    assert dict(zip(keys.tolist(), counts.tolist())) == expect
