@@ -59,10 +59,10 @@ def main() -> int:
             spec = counter.count_batch(spec, codes, lengths, k, key_bits)
             nbuf += windows
             if nbuf + windows > BC:
-                spec = counter._merge_keep(spec)
+                spec = counter._merge_keep(spec, key_bits)
                 merges += 1
                 nbuf = 0
-        spec = counter._merge_keep(spec)
+        spec = counter._merge_keep(spec, key_bits)
         jax.block_until_ready(spec.keys)
         return spec, merges
 

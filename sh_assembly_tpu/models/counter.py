@@ -7,9 +7,9 @@ single-stream batch pipeline:
   host: read -> N-segment -> pack (B, L) batches      (io/fastq, cpp reader)
   device, per batch (one jit program):
       windowed canonical ntHash  ->  key = min(fh,rh) mod 2^(qb+8)
-      searchsorted + scatter-add into the sorted spectrum
-      compact-append novel keys to the overflow buffer
-  periodically: sort-merge buffer into main  (analogue of local-QF dumps)
+      append raw keys to the log buffer (no random access on the hot path)
+  periodically: packed sort-merge of buffer into the sorted main store
+      (analogue of local-QF dumps, CQF_mt.h:588-607, but lock-free)
   deNoise trigger: ndistinct >= threshold -> singleton sweep
                    (qf_clean_singleton scheduling, CQF_mt.h:858-922)
 
@@ -45,24 +45,23 @@ def count_batch(spec: sp.Spectrum, codes: jax.Array, lengths: jax.Array,
     return sp.insert(spec, keys.reshape(-1))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _merge_keep(spec: sp.Spectrum) -> sp.Spectrum:
-    return sp.merge(spec, drop_singletons=False)
+@functools.partial(jax.jit, static_argnames=("key_bits",), donate_argnums=(0,))
+def _merge_keep(spec: sp.Spectrum, key_bits: int) -> sp.Spectrum:
+    return sp.merge(spec, key_bits, drop_singletons=False)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _sweep(spec: sp.Spectrum) -> sp.Spectrum:
-    """Singleton sweep on a merged store: pure compaction, no sort."""
+@functools.partial(jax.jit, static_argnames=("key_bits",), donate_argnums=(0,))
+def _sweep(spec: sp.Spectrum, key_bits: int) -> sp.Spectrum:
+    """Singleton sweep on a merged store: kill count-1 entries, recompact
+    with one packed single-operand sort (multi-operand sorts and scatters
+    are both slow on TPU)."""
     keep = (spec.keys != sp.SENTINEL) & (spec.counts >= 2)
-    C = spec.capacity
-    rank = jnp.cumsum(keep) - 1
-    dest = jnp.where(keep, rank, C - 1)
-    keys = jnp.full((C,), sp.SENTINEL, jnp.uint64).at[dest].set(
-        jnp.where(keep, spec.keys, sp.SENTINEL), mode="drop")
-    counts = jnp.zeros((C,), jnp.int32).at[dest].set(
-        jnp.where(keep, spec.counts, 0), mode="drop")
-    trav = jnp.zeros((C,), jnp.uint8).at[dest].set(
-        jnp.where(keep, spec.traveled, 0), mode="drop")
+    packed = jnp.where(
+        keep,
+        sp._pack(spec.keys, spec.counts, spec.traveled, key_bits),
+        sp.SENTINEL,
+    )
+    keys, counts, trav = sp._unpack(jax.lax.sort(packed), key_bits)
     n = jnp.sum(keep, dtype=jnp.int64)
     return spec._replace(keys=keys, counts=counts, traveled=trav,
                          n_main=n, ndistinct=n)
@@ -117,37 +116,36 @@ def build_spectrum(
         nbuf_bound += windows
 
         if nbuf_bound + windows > buf_capacity:
-            spec = _merge_keep(spec)
+            spec = _merge_keep(spec, sizing.qb + 8)
             stats.merges += 1
             nbuf_bound = 0
             sp.check_overflow(spec)
-
-        if rounds_left > 0:
-            # The reference checks its (exactly maintained) distinct counter
-            # after every chunk (CQF_mt.h:858-875).  Our estimate overcounts
-            # novel-key duplicates still in the buffer, so on a crossing we
-            # first merge to get the exact count, then sweep if it holds.
-            est = int(spec.ndistinct)
-            if est >= threshold:
-                if int(spec.n_buf) > 0:
-                    spec = _merge_keep(spec)
-                    stats.merges += 1
-                    nbuf_bound = 0
-                if int(spec.ndistinct) >= threshold:
-                    spec = _sweep(spec)
-                    stats.sweeps += 1
-                    rounds_left -= 1
-                    log(f"deNoise sweep done ({sizing.num_deNoise - rounds_left}"
-                        f"/{sizing.num_deNoise}); distinct={int(spec.ndistinct)}")
+            # deNoise trigger: the reference checks its distinct counter
+            # after every chunk (CQF_mt.h:858-875); the log-structured store
+            # knows the exact count at merge boundaries, so the sweep fires
+            # at the first merge after the threshold crossing.
+            if rounds_left > 0 and int(spec.ndistinct) >= threshold:
+                spec = _sweep(spec, sizing.qb + 8)
+                stats.sweeps += 1
+                rounds_left -= 1
+                log(f"deNoise sweep done ({sizing.num_deNoise - rounds_left}"
+                    f"/{sizing.num_deNoise}); distinct={int(spec.ndistinct)}")
         if progress_every and stats.batches % progress_every == 0:
             log(f"batch {stats.batches}: nelts={int(spec.nelts)} "
                 f"ndistinct~{int(spec.ndistinct)}")
 
-    spec = _merge_keep(spec)
+    spec = _merge_keep(spec, sizing.qb + 8)
     stats.merges += 1
     sp.check_overflow(spec)
+    # the reference's trigger also fires on the final chunk (CQF_mt.h:858)
+    if rounds_left > 0 and int(spec.ndistinct) >= threshold:
+        spec = _sweep(spec, sizing.qb + 8)
+        stats.sweeps += 1
+        rounds_left -= 1
+        log(f"deNoise sweep done ({sizing.num_deNoise - rounds_left}"
+            f"/{sizing.num_deNoise}); distinct={int(spec.ndistinct)}")
     if sizing.end_deNoise:
-        spec = _sweep(spec)
+        spec = _sweep(spec, sizing.qb + 8)
         stats.sweeps += 1
         log(f"end deNoise sweep; distinct={int(spec.ndistinct)}")
 

@@ -82,95 +82,127 @@ def _locate(sorted_keys: jax.Array, queries: jax.Array):
 
 @jax.jit
 def insert(spec: Spectrum, keys: jax.Array) -> Spectrum:
-    """Count a batch of canonical keys (SENTINEL entries are ignored).
+    """Append a batch of canonical keys (SENTINEL entries are ignored).
 
-    Existing keys are scatter-added into main; novel keys are appended to the
-    buffer with count 1 per occurrence (duplicates collapse at merge time).
-    The caller guarantees buffer headroom >= len(keys) (see models/counter).
+    Log-structured design: occurrences are appended raw — NO random access
+    on the insert path at all (random HBM gathers are ~100x more expensive
+    than streaming/sort passes on TPU; see bench notes).  Duplicates
+    collapse at the next sort-merge.  The caller guarantees buffer headroom
+    >= len(keys) (see models/counter).
+
+    ndistinct is exact only right after a merge (the reference tracks it
+    per-insert via isNew, CQF_mt.h:640; ours advances at merge cadence —
+    the deNoise trigger fires at the next merge after crossing, comparable
+    to the reference's once-per-chunk check).
     """
     keys = keys.reshape(-1)
     B = keys.shape[0]
-    pos, found = _locate(spec.keys, keys)
-
-    counts = spec.counts.at[jnp.where(found, pos, 0)].add(
-        found.astype(jnp.int32), mode="drop"
-    )
-
-    is_new = (~found) & (keys != SENTINEL)
-    n_new = jnp.sum(is_new, dtype=jnp.int64)
-    # Compact novel keys to the front of a B-sized block, then splice the
-    # whole block at n_buf (slots past n_new are SENTINEL, preserving the
-    # buffer invariant that everything past n_buf is empty).
-    dest = jnp.where(is_new, jnp.cumsum(is_new) - 1, B - 1)
+    valid = keys != SENTINEL
+    n_valid = jnp.sum(valid, dtype=jnp.int64)
+    # compact valid keys to the front of the block so n_buf accounting is
+    # dense (cheap: one cumsum + one scatter over the batch, not the store)
+    dest = jnp.where(valid, jnp.cumsum(valid) - 1, B - 1)
     block = jnp.full((B,), SENTINEL, dtype=jnp.uint64)
-    block = block.at[dest].set(jnp.where(is_new, keys, SENTINEL), mode="drop")
+    block = block.at[dest].set(jnp.where(valid, keys, SENTINEL), mode="drop")
     buf_keys = jax.lax.dynamic_update_slice(
         spec.buf_keys, block, (spec.n_buf.astype(jnp.int32),)
     )
-
-    n_valid = jnp.sum(keys != SENTINEL, dtype=jnp.int64)
     return spec._replace(
-        counts=counts,
         buf_keys=buf_keys,
-        n_buf=spec.n_buf + n_new,
-        ndistinct=spec.ndistinct + n_new,
+        n_buf=spec.n_buf + n_valid,
         nelts=spec.nelts + n_valid,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("drop_singletons",))
-def merge(spec: Spectrum, drop_singletons: bool = False) -> Spectrum:
-    """Fold the buffer into main: sort, combine duplicate keys, recompact.
+def payload_bits(key_bits: int) -> int:
+    """Bits left for (traveled | count) when a key is packed high in a u64."""
+    p = 64 - key_bits
+    if p < 8:
+        raise ValueError(f"key_bits {key_bits} leaves no payload room")
+    return p
 
-    With drop_singletons=True this is the deNoise sweep: entries whose total
-    count is exactly 1 are purged (semantics of qf_clean_singleton,
-    gqf.c:2792-2876; scheduling in models/counter).
+
+def count_cap(key_bits: int) -> int:
+    """Saturation cap for packed counts.  -2 keeps a fully saturated payload
+    strictly below all-ones so no real entry can collide with SENTINEL."""
+    return (1 << (payload_bits(key_bits) - 1)) - 2
+
+
+def _pack(keys, counts, trav, key_bits: int):
+    """(key, count, traveled) -> single u64: key | trav-bit | count.
+
+    Multi-operand lax.sort is orders of magnitude slower than single-operand
+    sort on TPU, so merges operate on this packed form.  Counts saturate at
+    count_cap (far above any pipeline threshold; the reference's
+    variable-length counters are unbounded, gqf.c:1218, but nothing
+    downstream distinguishes counts beyond solid_abundance_max).
+    """
+    p = payload_bits(key_bits)
+    cap = count_cap(key_bits)
+    c = jnp.minimum(counts.astype(jnp.int64), cap).astype(jnp.uint64)
+    t = trav.astype(jnp.uint64) << jnp.uint64(p - 1)
+    return (keys << jnp.uint64(p)) | t | c
+
+
+def _unpack(packed, key_bits: int):
+    p = payload_bits(key_bits)
+    keys = packed >> jnp.uint64(p)
+    # re-expand SENTINEL slots to the full all-ones key
+    keys = jnp.where(packed == SENTINEL, SENTINEL, keys)
+    trav = ((packed >> jnp.uint64(p - 1)) & jnp.uint64(1)).astype(jnp.uint8)
+    counts = (packed & jnp.uint64((1 << (p - 1)) - 1)).astype(jnp.int32)
+    counts = jnp.where(packed == SENTINEL, 0, counts)
+    trav = jnp.where(packed == SENTINEL, 0, trav)
+    return keys, counts, trav
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits", "drop_singletons"))
+def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spectrum:
+    """Fold the buffer into main: two single-operand u64 sorts + linear
+    scans — no random access, no multi-operand sorts.
+
+    sort #1 over packed (key|trav|count) groups duplicate keys with the
+    max-traveled copy last in each run; an inclusive-cumsum/running-max
+    scan yields exact run totals at the run's last slot; non-last slots are
+    killed to SENTINEL and sort #2 compacts survivors.
+
+    With drop_singletons=True this is the deNoise sweep: runs whose total
+    is 1 are purged (semantics of qf_clean_singleton, gqf.c:2792-2876).
     """
     C, BC = spec.capacity, spec.buf_capacity
-    total = C + BC
-    all_keys = jnp.concatenate([spec.keys, spec.buf_keys])
-    all_counts = jnp.concatenate(
-        [spec.counts, jnp.ones((BC,), jnp.int32)]
+    main = _pack(spec.keys, spec.counts, spec.traveled, key_bits)
+    main = jnp.where(spec.keys == SENTINEL, SENTINEL, main)
+    buf = jnp.where(
+        spec.buf_keys == SENTINEL,
+        SENTINEL,
+        (spec.buf_keys << jnp.uint64(payload_bits(key_bits))) | jnp.uint64(1),
     )
-    all_trav = jnp.concatenate([spec.traveled, jnp.zeros((BC,), jnp.uint8)])
-    # Dead buffer slots must not contribute counts.
-    all_counts = jnp.where(all_keys == SENTINEL, 0, all_counts)
+    packed = jax.lax.sort(jnp.concatenate([main, buf]))
 
-    all_keys, all_counts, all_trav = jax.lax.sort(
-        (all_keys, all_counts, all_trav), num_keys=1
-    )
+    keys, counts, trav = _unpack(packed, key_bits)
+    # exact run totals via cumsum + running-max of run-start prefixes
+    S = jnp.cumsum(counts.astype(jnp.int64))
+    first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    U = jax.lax.cummax(jnp.where(first, S - counts, jnp.int64(-1)))
+    totals = S - U
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
 
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), all_keys[1:] != all_keys[:-1]]
-    )
-    seg = jnp.cumsum(first) - 1
-    summed = jax.ops.segment_sum(all_counts, seg, num_segments=total)
-    trav_max = jax.ops.segment_max(all_trav, seg, num_segments=total)
-
-    key_first = jnp.where(first, all_keys, SENTINEL)
-    cnt_first = summed[seg]  # broadcast back; only first-of-segment rows used
-    trv_first = trav_max[seg]
-
-    keep = first & (all_keys != SENTINEL)
+    keep = last & (keys != SENTINEL)
     if drop_singletons:
-        keep = keep & (cnt_first >= 2)
-    rank = jnp.cumsum(keep) - 1
-    # NOTE: n_main may exceed C on overflow; entries past C are dropped by
-    # the scatter.  Callers must check n_main <= capacity (check_overflow).
-    dest = jnp.where(keep, rank, total - 1)
-
-    keys = jnp.full((C,), SENTINEL, dtype=jnp.uint64)
-    counts = jnp.zeros((C,), dtype=jnp.int32)
-    trav = jnp.zeros((C,), dtype=jnp.uint8)
-    keys = keys.at[dest].set(jnp.where(keep, key_first, SENTINEL), mode="drop")
-    counts = counts.at[dest].set(jnp.where(keep, cnt_first, 0), mode="drop")
-    trav = trav.at[dest].set(jnp.where(keep, trv_first, 0), mode="drop")
+        keep = keep & (totals >= 2)
+    survivors = jnp.where(
+        keep,
+        _pack(keys, totals, trav, key_bits),
+        SENTINEL,
+    )
+    packed2 = jax.lax.sort(survivors)[:C]
+    out_keys, out_counts, out_trav = _unpack(packed2, key_bits)
 
     n_main = jnp.sum(keep, dtype=jnp.int64)
     return Spectrum(
-        keys=keys,
-        counts=counts,
-        traveled=trav,
+        keys=out_keys,
+        counts=out_counts,
+        traveled=out_trav,
         buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64),
         n_main=n_main,
         n_buf=jnp.zeros((), jnp.int64),

@@ -120,11 +120,13 @@ class ShardedCounter:
         return jax.jit(f, donate_argnums=(0,))
 
     def merge_fn(self, drop_singletons: bool = False):
+        key_bits = self.key_bits
+
         def local_merge(spec_v):
             spec = spec_v._replace(
                 n_main=spec_v.n_main[0], n_buf=spec_v.n_buf[0],
                 ndistinct=spec_v.ndistinct[0], nelts=spec_v.nelts[0])
-            out = sp.merge(spec, drop_singletons=drop_singletons)
+            out = sp.merge(spec, key_bits, drop_singletons=drop_singletons)
             return out._replace(
                 n_main=out.n_main[None], n_buf=out.n_buf[None],
                 ndistinct=out.ndistinct[None], nelts=out.nelts[None])

@@ -21,7 +21,7 @@ def build_from_reads(reads, sizing, reads_per_batch=64, max_read_len=96):
         yield from batcher.flush()
 
     spec, stats = counter.build_spectrum(
-        stream(), sizing, capacity=1 << 14, buf_capacity=1 << 13, batch_cfg=bc
+        stream(), sizing, capacity=1 << 14, buf_capacity=1 << 14, batch_cfg=bc
     )
     return spec, stats
 
@@ -105,6 +105,7 @@ def test_triggered_denoise_round(rng):
 
     bc = cfg.BatchConfig(reads_per_batch=16, max_read_len=96)
     batcher = fastq.Batcher(k, bc.reads_per_batch, bc.max_read_len)
+    buf_capacity = 1 << 13
 
     def stream():
         for r in reads:
@@ -112,33 +113,46 @@ def test_triggered_denoise_round(rng):
         yield from batcher.flush()
 
     spec, stats = counter.build_spectrum(
-        stream(), sizing, capacity=1 << 14, buf_capacity=1 << 12, batch_cfg=bc
+        stream(), sizing, capacity=1 << 14, buf_capacity=buf_capacity,
+        batch_cfg=bc,
     )
     assert stats.sweeps == 1
 
-    # oracle replay with identical batching and trigger policy
+    # oracle replay with identical batching and merge-cadence trigger
+    # policy (the log-structured store checks the threshold at merge
+    # boundaries, models/counter.py)
     mask = (1 << (sizing.qb + 8)) - 1
     from sh_assembly_tpu.utils import nthash as nh
 
     batcher2 = fastq.Batcher(k, bc.reads_per_batch, bc.max_read_len)
     counts = {}
     swept = 0
+    windows = bc.reads_per_batch * (bc.max_read_len - k + 1)
+    nbuf_bound = 0
+
+    def maybe_sweep():
+        nonlocal swept, counts
+        if swept < 1 and len(counts) >= threshold:
+            counts = {k_: v for k_, v in counts.items() if v >= 2}
+            swept += 1
 
     def process(batch):
-        nonlocal swept, counts
+        nonlocal nbuf_bound
         for i in range(batch.n_rows):
             codes = batch.codes[i, : batch.lengths[i]]
             for key in nh.canonical_windowed(codes, k):
                 key = int(key) & mask
                 counts[key] = counts.get(key, 0) + 1
-        if swept < 1 and len(counts) >= threshold:
-            counts = {k_: v for k_, v in counts.items() if v >= 2}
-            swept += 1
+        nbuf_bound += windows
+        if nbuf_bound + windows > buf_capacity:
+            nbuf_bound = 0
+            maybe_sweep()
 
     for r in reads:
         for b in batcher2.add_read(r):
             process(b)
     for b in batcher2.flush():
         process(b)
+    maybe_sweep()  # final-merge trigger check
 
     assert spec_dict(spec) == counts

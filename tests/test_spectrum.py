@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from sh_assembly_tpu.ops import spectrum as sp
 
 SENT = 0xFFFFFFFFFFFFFFFF
+KB = 40  # key_bits used for packed merges in these tests
 
 
 def to_dict(spec):
@@ -41,9 +42,9 @@ def test_insert_merge_matches_dict(rng, seed):
         spec = sp.insert(spec, jnp.asarray(b))
         nbuf += B
         if nbuf + B > BC:
-            spec = sp.merge(spec)
+            spec = sp.merge(spec, KB)
             nbuf = 0
-    spec = sp.merge(spec)
+    spec = sp.merge(spec, KB)
 
     expect = ref_counts(batches)
     assert to_dict(spec) == expect
@@ -56,7 +57,7 @@ def test_merge_drop_singletons(rng):
     keys = np.array([1, 1, 2, 3, 3, 3, 4], dtype=np.uint64)
     spec = sp.make(C, BC)
     spec = sp.insert(spec, jnp.asarray(keys))
-    spec = sp.merge(spec, drop_singletons=True)
+    spec = sp.merge(spec, KB, drop_singletons=True)
     assert to_dict(spec) == {1: 2, 3: 3}
 
 
@@ -66,9 +67,9 @@ def test_split_count_survives_sweep():
     C, BC = 256, 128
     spec = sp.make(C, BC)
     spec = sp.insert(spec, jnp.asarray(np.array([7], np.uint64)))
-    spec = sp.merge(spec)  # 7 -> main with count 1
+    spec = sp.merge(spec, KB)  # 7 -> main with count 1
     spec = sp.insert(spec, jnp.asarray(np.array([7, 9], np.uint64)))
-    spec = sp.merge(spec, drop_singletons=True)
+    spec = sp.merge(spec, KB, drop_singletons=True)
     assert to_dict(spec) == {7: 2}
 
 
@@ -77,7 +78,7 @@ def test_query(rng):
     keys = rng.integers(0, 10_000, size=600).astype(np.uint64)
     spec = sp.make(C, BC)
     spec = sp.insert(spec, jnp.asarray(keys))
-    spec = sp.merge(spec)
+    spec = sp.merge(spec, KB)
     expect = ref_counts([keys])
     probes = np.concatenate([keys[:50], np.array([123456789, SENT], np.uint64)])
     got = np.asarray(sp.query(spec, jnp.asarray(probes)))
@@ -90,7 +91,7 @@ def test_traveled_semantics(rng):
     keys = np.array([5, 6, 7], np.uint64)
     spec = sp.make(C, BC)
     spec = sp.insert(spec, jnp.asarray(keys))
-    spec = sp.merge(spec)
+    spec = sp.merge(spec, KB)
 
     probes = jnp.asarray(np.array([5, 5, 99], np.uint64))
     counts, was, spec = sp.query_set_traveled(spec, probes)
@@ -108,10 +109,10 @@ def test_merge_preserves_traveled():
     C, BC = 256, 128
     spec = sp.make(C, BC)
     spec = sp.insert(spec, jnp.asarray(np.array([5, 6], np.uint64)))
-    spec = sp.merge(spec)
+    spec = sp.merge(spec, KB)
     _, _, spec = sp.query_set_traveled(spec, jnp.asarray(np.array([5], np.uint64)))
     spec = sp.insert(spec, jnp.asarray(np.array([8], np.uint64)))
-    spec = sp.merge(spec)
+    spec = sp.merge(spec, KB)
     keys, counts, trav = sp.to_host(spec)
     d = dict(zip(keys.tolist(), trav.tolist()))
     assert d[5] == 1 and d[6] == 0 and d[8] == 0
