@@ -1,14 +1,14 @@
 """Benchmark: k-mer counting throughput per chip (k=47, the reference's
 headline configuration, README.md:76-101).
 
-Measures the steady-state device pipeline (windowed canonical ntHash +
-sorted-spectrum insert + amortized sort-merge compactions) on synthetic
-reads pre-staged on device, i.e. the same work the reference's 16-thread
-insert1_advance hot loop does per k-mer (SURVEY.md §3.1), excluding host
-FASTQ decode (measured separately by the end-to-end configs).
+Measures the steady-state fused device pipeline (windowed canonical ntHash
++ log-buffer append + on-device packed sort-merges, counter.count_scan) on
+synthetic reads pre-staged on device — the same work the reference's
+16-thread insert1_advance hot loop does per k-mer (SURVEY.md §3.1),
+excluding host FASTQ decode (covered by the end-to-end configs).
 
-Baseline: the repository publishes no numbers (BASELINE.md).  We anchor
-vs_baseline to 20M canonical k-mer inserts/sec, a representative figure for
+Baseline: the repository publishes no numbers (BASELINE.md).  vs_baseline
+is anchored to 20M canonical k-mer inserts/sec, a representative figure for
 the 16-thread CQF insert loop on server CPUs from the CQF/squeakr
 literature the reference builds on; see README for the derivation.
 
@@ -32,48 +32,48 @@ def main() -> int:
     from sh_assembly_tpu.ops import spectrum as sp
 
     k = 47
-    qb = 24  # 16M-slot spectrum (~0.2 GB device state)
+    qb = 24  # 16M-entry spectrum
     key_bits = qb + 8
-    B, L = 4096, 160  # 467k windows per batch
-    C, BC = 1 << qb, 1 << 22
+    S, B, L = 8, 8192, 160  # 8 batches x 934k windows per fused dispatch
+    C, BC = 1 << qb, 1 << 23
     windows = B * (L - k + 1)
 
     rng = np.random.default_rng(2038074761)
     # reads sampled from a synthetic genome at ~30x so the spectrum load
     # factor and duplicate-key mix resemble real counting, not all-novel
-    genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
-    n_batches = 12
-    batches = []
-    for _ in range(n_batches):
-        starts = rng.integers(0, len(genome) - L, size=B)
-        codes = np.stack([genome[s : s + L] for s in starts])
-        batches.append(jax.device_put(jnp.asarray(codes)))
-    lengths = jax.device_put(jnp.asarray(np.full(B, L, np.int32)))
+    genome = rng.integers(0, 4, size=4_000_000).astype(np.uint8)
+    n_super = 4
+    supers = []
+    for _ in range(n_super):
+        stack = np.empty((S, B, L), np.uint8)
+        for s in range(S):
+            starts = rng.integers(0, len(genome) - L, size=B)
+            stack[s] = np.stack([genome[st : st + L] for st in starts])
+        supers.append(jax.device_put(jnp.asarray(stack)))
+    lengths = jax.device_put(jnp.asarray(np.full((S, B), L, np.int32)))
+    threshold = jnp.asarray(1 << 62, jnp.int64)
 
     spec = sp.make(C, BC)
+    rl = jnp.asarray(0, jnp.int32)
 
-    def run_once(spec, data):
+    def run_once(spec, rl, data):
         merges = 0
-        nbuf = 0
-        for codes in data:
-            spec = counter.count_batch(spec, codes, lengths, k, key_bits)
-            nbuf += windows
-            if nbuf + windows > BC:
-                spec = counter._merge_keep(spec, key_bits)
-                merges += 1
-                nbuf = 0
+        for stack in data:
+            spec, rl, m = counter.count_scan(
+                spec, rl, stack, lengths, threshold, k, key_bits)
+            merges += int(m)
         spec = counter._merge_keep(spec, key_bits)
         jax.block_until_ready(spec.keys)
-        return spec, merges
+        return spec, rl, merges + 1
 
     # warmup: compiles + fills the spectrum to steady-state occupancy
-    spec, _ = run_once(spec, batches[:4])
+    spec, rl, _ = run_once(spec, rl, supers[:2])
 
     t0 = time.time()
-    spec, merges = run_once(spec, batches)
+    spec, rl, merges = run_once(spec, rl, supers)
     dt = time.time() - t0
 
-    kmers = n_batches * windows
+    kmers = n_super * S * windows
     rate = kmers / dt
     print(
         json.dumps(

@@ -65,7 +65,7 @@ def _collect_batch(spec: sp.Spectrum, codes, lengths, k: int, key_bits: int,
     W = L - k + 1
     keys, valid = nthash.windowed_canonical(codes, lengths, k)
     keys = keys & _U64((1 << key_bits) - 1)
-    counts = sp.query(spec, keys.reshape(-1)).reshape(B, W)
+    counts = sp.query_join(spec, keys.reshape(-1), key_bits).reshape(B, W)
 
     # windows containing any non-ACGT base are not graph nodes (the
     # reference skips N-containing seeds, contig_assembly.cpp:2068-2071)
@@ -160,40 +160,51 @@ def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
 
     fh0, rh0 = _node_hashes(hi, lo, k)
     node_keys = jnp.minimum(fh0, rh0) & mask
-    node_counts = sp.query(spec, node_keys)
 
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
 
-    nsucc = []
-    succ_idx = []
-    succ_orient = []
     seeds = nthash.seed_table()
     cseeds = nthash.cseed_table()
+    # Phase 1: all 8 successor-probe keys (the batched form of the 8 CQF
+    # point queries per extended base, contig_assembly.cpp:3064-3120)
+    probe_keys = [node_keys]
+    probe_meta = []  # (o, X, target j, entering orientation)
     for o in range(2):
         ohi = hi if o == 0 else rhi
         olo = lo if o == 0 else rlo
         ofh = fh0 if o == 0 else rh0
         orh = rh0 if o == 0 else fh0
         out_b = kp.first_base(ohi, olo, k)
-
-        exist = []
-        tgt_j = []
-        tgt_p = []
         for X in range(4):
             sfh = _rol(ofh, 1) ^ _rol(seeds[out_b], k % 64) ^ seeds[X]
             srh = _rol(orh, 63) ^ _rol(cseeds[out_b], 63) ^ _rol(cseeds[X], (k - 1) % 64)
-            skey = jnp.minimum(sfh, srh) & mask
-            scnt = sp.query(spec, skey)
-            e = (scnt >= abundance_min) & valid
+            probe_keys.append(jnp.minimum(sfh, srh) & mask)
             shi, slo = kp.shift_in_base(ohi, olo, jnp.uint64(X), k)
             srchi, srclo = kp.revcomp_packed(shi, slo, k)
             schi, sclo, sflip = kp.canonicalize(shi, slo, srchi, srclo)
             j = kp.searchsorted2(hi, lo, schi, sclo)
             jc = jnp.minimum(j, N - 1)
             found = (hi[jc] == schi) & (lo[jc] == sclo)
+            probe_meta.append((jnp.where(found, jc, -1), sflip.astype(jnp.int32)))
+
+    # Phase 2: one sort-join answers all 9N count queries without gathers
+    all_counts = sp.query_join(
+        spec, jnp.concatenate(probe_keys), key_bits
+    ).reshape(9, N)
+    node_counts = all_counts[0]
+
+    nsucc = []
+    succ_idx = []
+    succ_orient = []
+    for o in range(2):
+        exist, tgt_j, tgt_p = [], [], []
+        for X in range(4):
+            scnt = all_counts[1 + o * 4 + X]
+            e = (scnt >= abundance_min) & valid
+            j, p_ = probe_meta[o * 4 + X]
             exist.append(e)
-            tgt_j.append(jnp.where(found, jc, -1))
-            tgt_p.append(sflip.astype(jnp.int32))
+            tgt_j.append(j)
+            tgt_p.append(p_)
         ecount = sum(e.astype(jnp.int32) for e in exist)
         # unique successor (when ecount == 1)
         uj = sum(jnp.where(e, j, 0) for e, j in zip(exist, tgt_j))

@@ -67,6 +67,65 @@ def _sweep(spec: sp.Spectrum, key_bits: int) -> sp.Spectrum:
                          n_main=n, ndistinct=n)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "key_bits"), donate_argnums=(0,))
+def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
+               codes: jax.Array, lengths: jax.Array,
+               threshold: jax.Array, k: int, key_bits: int):
+    """One fused device program over a stack of S batches.
+
+    Scans hash+append across the stack; when the log buffer would overflow,
+    a packed sort-merge runs under lax.cond, immediately followed (still on
+    device) by the deNoise trigger check and singleton sweep.  This keeps
+    the entire counting inner loop in a single dispatch — essential both
+    for tunnel/dispatch latency and for XLA to keep the spectrum buffers
+    donated in place.
+
+    Args:
+      spec: donated spectrum state.
+      rounds_left: int32[] deNoise rounds remaining.
+      codes: uint8[S, B, L]; lengths: int32[S, B].
+      threshold: int64[] ndistinct trigger (CQF_runtime_mt::needDeNoise,
+        CQF_mt.h:307-313).
+    Returns: (spec, rounds_left, merges_done int32[]).
+    """
+    BC = spec.buf_capacity
+
+    def sweep_fn(s: sp.Spectrum) -> sp.Spectrum:
+        keep = (s.keys != sp.SENTINEL) & (s.counts >= 2)
+        packed = jnp.where(
+            keep, sp._pack(s.keys, s.counts, s.traveled, key_bits),
+            sp.SENTINEL)
+        keys, counts, trav = sp._unpack(jax.lax.sort(packed), key_bits)
+        n = jnp.sum(keep, dtype=jnp.int64)
+        return s._replace(keys=keys, counts=counts, traveled=trav,
+                          n_main=n, ndistinct=n)
+
+    def merge_and_maybe_sweep(args):
+        s, rl, merges = args
+        s = sp.merge(s, key_bits)
+        do_sweep = (rl > 0) & (s.ndistinct >= threshold)
+        s = jax.lax.cond(do_sweep, sweep_fn, lambda x: x, s)
+        return s, rl - do_sweep.astype(rl.dtype), merges + 1
+
+    def body(carry, xs):
+        s, rl, merges = carry
+        bcodes, blengths = xs
+        keys, valid = nthash.windowed_canonical(bcodes, blengths, k)
+        keys = keys & jnp.uint64((1 << key_bits) - 1)
+        keys = jnp.where(valid, keys, sp.SENTINEL).reshape(-1)
+        need = s.n_buf + keys.shape[0] > BC
+        s, rl, merges = jax.lax.cond(
+            need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
+        s = sp.insert(s, keys)
+        return (s, rl, merges), ()
+
+    init = (spec, rounds_left, jnp.zeros((), jnp.int32))
+    (spec, rounds_left, merges), _ = jax.lax.scan(
+        body, init, (codes, lengths))
+    return spec, rounds_left, merges
+
+
 @dataclass
 class BuildStats:
     batches: int = 0
@@ -84,10 +143,17 @@ def build_spectrum(
     buf_capacity: int | None = None,
     batch_cfg: cfg.BatchConfig | None = None,
     progress_every: int = 0,
+    super_batch: int = 8,
 ) -> tuple[sp.Spectrum, BuildStats]:
-    """Count canonical k-mers of a batch stream into a merged Spectrum."""
+    """Count canonical k-mers of a batch stream into a merged Spectrum.
+
+    Host batches are stacked `super_batch` at a time and processed by one
+    fused device program (count_scan) that appends, merges, and runs
+    deNoise sweeps entirely on device.
+    """
     batch_cfg = batch_cfg or cfg.BatchConfig()
-    windows = batch_cfg.reads_per_batch * (batch_cfg.max_read_len - sizing.k + 1)
+    k, key_bits = sizing.k, sizing.qb + 8
+    windows = batch_cfg.reads_per_batch * (batch_cfg.max_read_len - k + 1)
     if capacity is None:
         capacity = sizing.nslots  # same memory scaling rule as qf_init
     if buf_capacity is None:
@@ -95,60 +161,57 @@ def build_spectrum(
     if buf_capacity < 2 * windows:
         raise ValueError(
             f"buf_capacity {buf_capacity} must be >= 2x windows/batch "
-            f"({windows}) so one batch of novel keys always fits")
+            f"({windows}) so one batch of keys always fits")
 
     spec = sp.make(capacity, buf_capacity)
     stats = BuildStats()
-    rounds_left = sizing.num_deNoise
-    threshold = sizing.ndistinct_for_deNoise
-    nbuf_bound = 0  # host-side pessimistic bound on device n_buf
+    rounds_left = jnp.asarray(sizing.num_deNoise, jnp.int32)
+    threshold = jnp.asarray(sizing.ndistinct_for_deNoise, jnp.int64)
     t0 = time.time()
+    S, B, L = super_batch, batch_cfg.reads_per_batch, batch_cfg.max_read_len
+
+    stack_codes = np.full((S, B, L), 5, np.uint8)
+    stack_lengths = np.zeros((S, B), np.int32)
+    fill = 0
+
+    def flush_stack():
+        nonlocal spec, rounds_left, fill
+        spec, rounds_left, merges = count_scan(
+            spec, rounds_left, jnp.asarray(stack_codes),
+            jnp.asarray(stack_lengths), threshold, k, key_bits)
+        stats.merges += int(merges)
+        stack_codes.fill(5)
+        stack_lengths.fill(0)
+        fill = 0
 
     for batch in batches:
-        spec = count_batch(
-            spec,
-            jnp.asarray(batch.codes),
-            jnp.asarray(batch.lengths),
-            sizing.k,
-            sizing.qb + 8,
-        )
+        stack_codes[fill] = batch.codes
+        stack_lengths[fill] = batch.lengths
+        fill += 1
         stats.batches += 1
-        nbuf_bound += windows
-
-        if nbuf_bound + windows > buf_capacity:
-            spec = _merge_keep(spec, sizing.qb + 8)
-            stats.merges += 1
-            nbuf_bound = 0
+        if fill == S:
+            flush_stack()
             sp.check_overflow(spec)
-            # deNoise trigger: the reference checks its distinct counter
-            # after every chunk (CQF_mt.h:858-875); the log-structured store
-            # knows the exact count at merge boundaries, so the sweep fires
-            # at the first merge after the threshold crossing.
-            if rounds_left > 0 and int(spec.ndistinct) >= threshold:
-                spec = _sweep(spec, sizing.qb + 8)
-                stats.sweeps += 1
-                rounds_left -= 1
-                log(f"deNoise sweep done ({sizing.num_deNoise - rounds_left}"
-                    f"/{sizing.num_deNoise}); distinct={int(spec.ndistinct)}")
-        if progress_every and stats.batches % progress_every == 0:
-            log(f"batch {stats.batches}: nelts={int(spec.nelts)} "
-                f"ndistinct~{int(spec.ndistinct)}")
+            if progress_every and stats.batches % progress_every < S:
+                log(f"batch {stats.batches}: nelts={int(spec.nelts)} "
+                    f"ndistinct(last merge)={int(spec.ndistinct)}")
+    if fill:
+        flush_stack()
 
-    spec = _merge_keep(spec, sizing.qb + 8)
+    spec = _merge_keep(spec, key_bits)
     stats.merges += 1
     sp.check_overflow(spec)
     # the reference's trigger also fires on the final chunk (CQF_mt.h:858)
-    if rounds_left > 0 and int(spec.ndistinct) >= threshold:
-        spec = _sweep(spec, sizing.qb + 8)
-        stats.sweeps += 1
-        rounds_left -= 1
-        log(f"deNoise sweep done ({sizing.num_deNoise - rounds_left}"
-            f"/{sizing.num_deNoise}); distinct={int(spec.ndistinct)}")
+    if int(rounds_left) > 0 and int(spec.ndistinct) >= int(threshold):
+        spec = _sweep(spec, key_bits)
+        rounds_left = rounds_left - 1
+        log(f"deNoise sweep done; distinct={int(spec.ndistinct)}")
     if sizing.end_deNoise:
-        spec = _sweep(spec, sizing.qb + 8)
-        stats.sweeps += 1
+        spec = _sweep(spec, key_bits)
         log(f"end deNoise sweep; distinct={int(spec.ndistinct)}")
 
+    stats.sweeps = sizing.num_deNoise - int(rounds_left) + (
+        1 if sizing.end_deNoise else 0)
     stats.kmers = int(spec.nelts)
     stats.distinct = int(spec.ndistinct)
     stats.seconds = time.time() - t0

@@ -97,19 +97,17 @@ def insert(spec: Spectrum, keys: jax.Array) -> Spectrum:
     """
     keys = keys.reshape(-1)
     B = keys.shape[0]
-    valid = keys != SENTINEL
-    n_valid = jnp.sum(valid, dtype=jnp.int64)
-    # compact valid keys to the front of the block so n_buf accounting is
-    # dense (cheap: one cumsum + one scatter over the batch, not the store)
-    dest = jnp.where(valid, jnp.cumsum(valid) - 1, B - 1)
-    block = jnp.full((B,), SENTINEL, dtype=jnp.uint64)
-    block = block.at[dest].set(jnp.where(valid, keys, SENTINEL), mode="drop")
+    n_valid = jnp.sum(keys != SENTINEL, dtype=jnp.int64)
+    # The raw block is appended as-is, SENTINEL padding included — the
+    # merge sorts padding to the tail anyway, and skipping the compaction
+    # scatter keeps the hot path scatter-free (TPU scatters cost ~10-100x a
+    # streaming write).  n_buf therefore advances by the full block size.
     buf_keys = jax.lax.dynamic_update_slice(
-        spec.buf_keys, block, (spec.n_buf.astype(jnp.int32),)
+        spec.buf_keys, keys, (spec.n_buf.astype(jnp.int32),)
     )
     return spec._replace(
         buf_keys=buf_keys,
-        n_buf=spec.n_buf + n_valid,
+        n_buf=spec.n_buf + B,
         nelts=spec.nelts + n_valid,
     )
 
@@ -213,9 +211,70 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
 
 @jax.jit
 def query(spec: Spectrum, keys: jax.Array) -> jax.Array:
-    """Batched qf_count_key_value (gqf.c:2442-2469); requires a merged store."""
+    """Batched qf_count_key_value (gqf.c:2442-2469); requires a merged store.
+
+    Binary-search implementation — fine for small probe sets; use
+    query_join for large batches (sorts beat gathers on TPU).
+    """
     pos, found = _locate(spec.keys, keys)
     return jnp.where(found, spec.counts[pos], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def query_join(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
+    """Batched counts via sort-join — no random access.
+
+    Spectrum entries pack as (key | 0-marker | count) and queries as
+    (key | 1-marker | original-index); one sort groups them with each key's
+    spectrum entry first in its run, a segmented forward-max propagates the
+    count to the run's queries, and a second sort restores query order.
+    SENTINEL queries return 0.
+
+    Requires a merged store, len(keys) < 2^(payload_bits-1), and
+    run-id * 2^(payload_bits-1) to fit u64 (checked).
+    """
+    keys = keys.reshape(-1)
+    Nq = keys.shape[0]
+    C = spec.capacity
+    p = payload_bits(key_bits)
+    half = jnp.uint64(1) << jnp.uint64(p - 1)
+    cmask = half - jnp.uint64(1)
+    if Nq >= (1 << (p - 1)):
+        raise ValueError("query batch too large for payload bits")
+    if (C + Nq).bit_length() + (p - 1) > 63:
+        raise ValueError("run-id would overflow the scan packing")
+
+    cap = count_cap(key_bits)
+    spec_packed = jnp.where(
+        spec.keys == SENTINEL,
+        SENTINEL,
+        (spec.keys << jnp.uint64(p))
+        | jnp.minimum(spec.counts.astype(jnp.int64), cap).astype(jnp.uint64),
+    )
+    valid = keys != SENTINEL
+    qkeys = jnp.where(valid, keys, 0)
+    idx = jnp.arange(Nq, dtype=jnp.uint64)
+    q_packed = (qkeys << jnp.uint64(p)) | half | idx
+
+    merged = jax.lax.sort(jnp.concatenate([spec_packed, q_packed]))
+    mkeys = merged >> jnp.uint64(p)
+    is_q = (merged & half) != 0
+    first = jnp.concatenate([jnp.ones((1,), bool), mkeys[1:] != mkeys[:-1]])
+    run_id = jnp.cumsum(first.astype(jnp.uint64))
+    base = jnp.where(is_q, jnp.uint64(0), merged & cmask)
+    g = (run_id << jnp.uint64(p - 1)) | base
+    F = jax.lax.cummax(g)
+    count_here = F & cmask  # F's run part always equals the current run's
+
+    out32 = jnp.where(
+        is_q,
+        ((merged & cmask) << jnp.uint64(32))
+        | jnp.minimum(count_here, jnp.uint64(0x7FFFFFFF)),
+        SENTINEL,
+    )
+    back = jax.lax.sort(out32)[:Nq]
+    counts = (back & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+    return jnp.where(valid, counts, 0)
 
 
 @jax.jit

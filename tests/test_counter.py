@@ -128,7 +128,7 @@ def test_triggered_denoise_round(rng):
     counts = {}
     swept = 0
     windows = bc.reads_per_batch * (bc.max_read_len - k + 1)
-    nbuf_bound = 0
+    nbuf = 0  # full-block window count, mirroring count_scan's n_buf
 
     def maybe_sweep():
         nonlocal swept, counts
@@ -137,16 +137,18 @@ def test_triggered_denoise_round(rng):
             swept += 1
 
     def process(batch):
-        nonlocal nbuf_bound
+        nonlocal nbuf
+        # count_scan merges (and checks the trigger) BEFORE an insert that
+        # would overflow the log buffer
+        if nbuf + windows > buf_capacity:
+            nbuf = 0
+            maybe_sweep()
         for i in range(batch.n_rows):
             codes = batch.codes[i, : batch.lengths[i]]
             for key in nh.canonical_windowed(codes, k):
                 key = int(key) & mask
                 counts[key] = counts.get(key, 0) + 1
-        nbuf_bound += windows
-        if nbuf_bound + windows > buf_capacity:
-            nbuf_bound = 0
-            maybe_sweep()
+        nbuf += windows
 
     for r in reads:
         for b in batcher2.add_read(r):

@@ -86,6 +86,23 @@ def test_query(rng):
         assert g == expect.get(p, 0)
 
 
+def test_query_join_matches_query(rng):
+    C, BC = 2048, 1024
+    keys = rng.integers(0, 1 << 20, size=900).astype(np.uint64)
+    spec = sp.make(C, BC)
+    spec = sp.insert(spec, jnp.asarray(keys))
+    spec = sp.merge(spec, KB)
+    probes = np.concatenate([
+        keys[::3],
+        rng.integers(0, 1 << 20, size=200).astype(np.uint64),
+        np.array([SENT, SENT], np.uint64),
+    ])
+    rng.shuffle(probes)
+    a = np.asarray(sp.query(spec, jnp.asarray(probes)))
+    b = np.asarray(sp.query_join(spec, jnp.asarray(probes), KB))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_traveled_semantics(rng):
     C, BC = 256, 128
     keys = np.array([5, 6, 7], np.uint64)
