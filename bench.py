@@ -34,8 +34,8 @@ def main() -> int:
     k = 47
     qb = 24  # 16M-entry spectrum
     key_bits = qb + 8
-    S, B, L = 8, 8192, 160  # 8 batches x 934k windows per fused dispatch
-    C, BC = 1 << qb, 1 << 23
+    S, B, L = 32, 8192, 160  # 32 batches x 934k windows per fused dispatch
+    C, BC = 1 << qb, 1 << 25
     windows = B * (L - k + 1)
 
     rng = np.random.default_rng(2038074761)

@@ -10,11 +10,26 @@ jax.sharding meshes instead of pthread spin locks.
 Behavioral reference: Christina-hshi/SH-assembly (see SURVEY.md).
 """
 
+import os as _os_early
+
 import jax
 
 # The whole engine operates on 64-bit ntHash values; enable x64 before any
 # other jax use (TPU emulates 64-bit integer ops with 32-bit pairs).
 jax.config.update("jax_enable_x64", True)
+
+# Honor platform selection even when a sitecustomize (e.g. the axon TPU
+# plugin bootstrap) imported jax before this process's env was applied:
+# env vars are snapshotted at jax import, so re-apply them to the live
+# config.  SH_ASSEMBLY_PLATFORM wins over JAX_PLATFORMS.
+_plat = _os_early.environ.get(
+    "SH_ASSEMBLY_PLATFORM", _os_early.environ.get("JAX_PLATFORMS", "")
+)
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
 
 # Persistent compilation cache: the CLIs are short-lived processes and the
 # counting/contiger programs are large; caching removes ~minutes of XLA

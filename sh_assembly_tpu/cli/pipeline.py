@@ -1,0 +1,91 @@
+"""sh-assembly — the full pipeline in one command.
+
+Runs the three reference stages back to back (README.md:37-41):
+CQF-deNoise counting -> Contiger unitig graph -> Minia-style simplification,
+keeping the spectrum on device between stages (no .ser round-trip unless
+--save-cqf is given).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .. import config as cfg
+from ..formats import cqf_ser
+from ..io import fastq, native
+from ..models import contiger, counter, simplify
+from ..ops import spectrum as sp
+from ..utils.logging import log
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="sh-assembly", description="reads -> contigs, end to end")
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("-i", "--input", type=str, required=True,
+                   help="file listing read file names")
+    p.add_argument("-f", "--format", type=str, default="auto",
+                   choices=["g", "b", "f", "auto"])
+    p.add_argument("-n", "--trueKmer", type=int, required=True)
+    p.add_argument("-N", type=int, required=True, dest="total_kmers")
+    p.add_argument("-e", "--alpha", type=float, default=-1.0)
+    p.add_argument("--fr", type=float, default=0.0)
+    p.add_argument("--deNoise", type=int, default=-1)
+    p.add_argument("--endDeNoise", action="store_true")
+    p.add_argument("-s", "--abundance_min", type=int, default=2)
+    p.add_argument("-o", "--output", type=str, default="contigs.fa")
+    p.add_argument("--unitigs", type=str, default="unitigs.fa")
+    p.add_argument("--save-cqf", type=str, default="")
+    p.add_argument("--genome-size", type=int, default=0,
+                   help="for NG50 reporting")
+    args = p.parse_args(argv)
+
+    t0 = time.time()
+    sizing = cfg.size_counter(
+        k=args.k, n_true_kmers=args.trueKmer, total_kmers=args.total_kmers,
+        alpha=args.alpha, fr=args.fr, num_deNoise=args.deNoise,
+        end_deNoise=args.endDeNoise)
+    files = fastq.read_file_list(args.input)
+
+    log(f"[1/3] counting {args.k}-mers (qb={sizing.qb}, "
+        f"deNoise={sizing.num_deNoise})")
+    spec, stats = counter.build_spectrum_from_files(
+        files, sizing, fmode=args.format)
+    log(f"counted {stats.kmers} k-mers, {stats.distinct} distinct "
+        f"({stats.seconds:.1f}s)")
+    if args.save_cqf:
+        keys, counts, trav = sp.to_host(spec)
+        cqf_ser.write_ser(args.save_cqf, keys, counts, qb=sizing.qb,
+                          key_bits=sizing.hb, nelts=stats.kmers,
+                          ndistinct=stats.distinct)
+        log(f"wrote {args.save_cqf}")
+
+    log("[2/3] building unitig graph")
+    params = cfg.ContigerParams(k=args.k, kmer_abundance_min=args.abundance_min)
+    batch_cfg = cfg.BatchConfig()
+    stream = native.batches_from_files(
+        files, args.k, args.format, batch_cfg.reads_per_batch,
+        batch_cfg.max_read_len)
+    graph = contiger.assemble_unitigs(spec, stream, params,
+                                      key_bits=sizing.hb)
+    graph.write_fasta(args.unitigs)
+    log(f"{len(graph.unitigs)} unitigs -> {args.unitigs}")
+
+    log("[3/3] simplifying graph")
+    contigs, sstats = simplify.simplify_to_contigs(graph)
+    simplify.write_contigs(args.output, contigs, args.k)
+    summary = simplify.contig_stats(
+        contigs, genome_size=args.genome_size or None)
+    log(f"removed tips={sstats['tips']} bubbles={sstats['bubbles']} "
+        f"ec={sstats['ec']}")
+    log(f"contigs={summary['n_contigs']} total={summary['total_len']} "
+        f"N50={summary['N50']}" + (
+            f" NG50={summary['NG50']}" if "NG50" in summary else ""))
+    log(f"wrote {args.output}; total {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -208,7 +208,7 @@ class ContigerParams:
 class BatchConfig:
     """Device batch geometry for the streaming stages."""
 
-    reads_per_batch: int = 16384
+    reads_per_batch: int = 8192
     max_read_len: int = 160  # longer (sub-)reads are tiled with k-1 overlap
 
     @property

@@ -157,7 +157,10 @@ def build_spectrum(
     if capacity is None:
         capacity = sizing.nslots  # same memory scaling rule as qf_init
     if buf_capacity is None:
-        buf_capacity = max(4 * windows, 1 << 20)
+        # power of two: odd-sized sort/scan extents have hit TPU backend
+        # codegen failures (scoped-vmem overflows); 2^n sizes are the
+        # well-trodden path
+        buf_capacity = 1 << max(4 * windows - 1, (1 << 20) - 1).bit_length()
     if buf_capacity < 2 * windows:
         raise ValueError(
             f"buf_capacity {buf_capacity} must be >= 2x windows/batch "

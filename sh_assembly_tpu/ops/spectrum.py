@@ -304,6 +304,74 @@ def query_is_traveled(spec: Spectrum, keys: jax.Array):
     return counts, was
 
 
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def union(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
+    """qf_merge/qf_multi_merge equivalent (gqf.c:2614-2672): combine two
+    merged spectra, summing counts of shared keys.  Result uses a's
+    capacities (check_overflow applies)."""
+    C, BC = a.capacity, a.buf_capacity
+    pa = jnp.where(a.keys == SENTINEL, SENTINEL,
+                   _pack(a.keys, a.counts, a.traveled, key_bits))
+    pb = jnp.where(b.keys == SENTINEL, SENTINEL,
+                   _pack(b.keys, b.counts, b.traveled, key_bits))
+    packed = jax.lax.sort(jnp.concatenate([pa, pb]))
+    keys, counts, trav = _unpack(packed, key_bits)
+    S = jnp.cumsum(counts.astype(jnp.int64))
+    first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    U = jax.lax.cummax(jnp.where(first, S - counts, jnp.int64(-1)))
+    totals = S - U
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    keep = last & (keys != SENTINEL)
+    survivors = jnp.where(keep, _pack(keys, totals, trav, key_bits), SENTINEL)
+    out = jax.lax.sort(survivors)[:C]
+    k2, c2, t2 = _unpack(out, key_bits)
+    n = jnp.sum(keep, dtype=jnp.int64)
+    return Spectrum(
+        keys=k2, counts=c2, traveled=t2,
+        buf_keys=jnp.full((BC,), SENTINEL, jnp.uint64),
+        n_main=n, n_buf=jnp.zeros((), jnp.int64),
+        ndistinct=n, nelts=a.nelts + b.nelts,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def inner_product(a: Spectrum, b: Spectrum, key_bits: int) -> jax.Array:
+    """qf_inner_product equivalent (gqf.c:2674-2706): sum over shared keys
+    of count_a * count_b."""
+    cb = query_join(b, a.keys, key_bits)
+    va = jnp.where(a.keys == SENTINEL, 0, a.counts).astype(jnp.int64)
+    return jnp.sum(va * cb.astype(jnp.int64))
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def intersect(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
+    """qf_intersect equivalent (gqf.c:2708-2742): keys present in both,
+    with min(count_a, count_b) (reference inserts the a-count; min is the
+    multiset convention and documented divergence)."""
+    C, BC = a.capacity, a.buf_capacity
+    cb = query_join(b, a.keys, key_bits)
+    keep = (a.keys != SENTINEL) & (cb > 0)
+    counts = jnp.minimum(a.counts, cb)
+    packed = jnp.where(keep, _pack(a.keys, counts, a.traveled, key_bits),
+                       SENTINEL)
+    out = jax.lax.sort(packed)[:C]
+    k2, c2, t2 = _unpack(out, key_bits)
+    n = jnp.sum(keep, dtype=jnp.int64)
+    return Spectrum(
+        keys=k2, counts=c2, traveled=t2,
+        buf_keys=jnp.full((BC,), SENTINEL, jnp.uint64),
+        n_main=n, n_buf=jnp.zeros((), jnp.int64),
+        ndistinct=n, nelts=jnp.sum(c2.astype(jnp.int64)),
+    )
+
+
+@jax.jit
+def magnitude(a: Spectrum) -> jax.Array:
+    """qf_magnitude equivalent (gqf.c:2744-2763): sqrt(sum count^2)."""
+    v = jnp.where(a.keys == SENTINEL, 0, a.counts).astype(jnp.float64)
+    return jnp.sqrt(jnp.sum(v * v))
+
+
 def check_overflow(spec: Spectrum) -> None:
     """Raise if a merge produced more distinct keys than the capacity holds
     (the reference would silently corrupt memory here, gqf xnslots)."""

@@ -119,6 +119,118 @@ class ShardedCounter:
             out_specs=self._spec_pspec(), check_vma=False)
         return jax.jit(f, donate_argnums=(0,))
 
+    def count_scan_fn(self, S: int, quota_slack: float = 2.0):
+        """Fused sharded counting: one dispatch scans S batches, routing
+        keys to owner shards with a sorted all_to_all exchange.
+
+        Per scan step and device: hash local reads -> single-operand sort
+        (keys sort by owner because owners are the top key bits) ->
+        per-owner quota rows cut with dynamic slices -> all_to_all -> local
+        log append, with per-shard packed merges and globally-triggered
+        deNoise sweeps under lax.cond.  Traffic is O(quota_slack * keys)
+        instead of the all_gather path's O(n_shards * keys).
+
+        Returns jit fn (spec_v, rounds_v, codes[S,Bl,L], lengths[S,Bl],
+        threshold) -> (spec_v, rounds_v, merges_v, dropped_v); `dropped`
+        counts keys beyond a shard's quota in one step (must be 0; raise
+        quota_slack otherwise).
+        """
+        n = self.n_shards
+        k, key_bits = self.k, self.key_bits
+        shard_bits = self.shard_bits
+        mask = _U64((1 << key_bits) - 1)
+        owner_shift = _U64(key_bits - shard_bits) if shard_bits else None
+        BC = self.local_buf_capacity
+
+        def local_fn(spec_v, rounds_v, codes, lengths, threshold):
+            spec = spec_v._replace(
+                n_main=spec_v.n_main[0], n_buf=spec_v.n_buf[0],
+                ndistinct=spec_v.ndistinct[0], nelts=spec_v.nelts[0])
+            rl = rounds_v[0]
+            W = codes.shape[1] * (codes.shape[2] - k + 1)
+            Q = int(np.ceil(W / n * quota_slack)) if n > 1 else W
+
+            boundaries = jnp.asarray(
+                [(o << (key_bits - shard_bits)) if shard_bits else 0
+                 for o in range(n + 1)], dtype=jnp.uint64)
+            if not shard_bits:
+                boundaries = jnp.asarray([0, 1 << key_bits], dtype=jnp.uint64)
+
+            def sweep_fn(s):
+                keep = (s.keys != sp.SENTINEL) & (s.counts >= 2)
+                packed = jnp.where(
+                    keep, sp._pack(s.keys, s.counts, s.traveled, key_bits),
+                    sp.SENTINEL)
+                keys2, counts2, trav2 = sp._unpack(
+                    jax.lax.sort(packed), key_bits)
+                m = jnp.sum(keep, dtype=jnp.int64)
+                return s._replace(keys=keys2, counts=counts2, traveled=trav2,
+                                  n_main=m, ndistinct=m)
+
+            def body(carry, xs):
+                s, rl, merges, dropped = carry
+                bcodes, blengths = xs
+                keys, valid = nthash.windowed_canonical(bcodes, blengths, k)
+                keys = jnp.where(valid, keys & mask, sp.SENTINEL).reshape(-1)
+                sortk = jax.lax.sort(keys)
+                padded = jnp.concatenate(
+                    [sortk, jnp.full((Q,), sp.SENTINEL, jnp.uint64)])
+                bounds = jnp.searchsorted(sortk, boundaries).astype(jnp.int32)
+                rows = []
+                drop = jnp.zeros((), jnp.int64)
+                for o in range(n):
+                    start, end = bounds[o], bounds[o + 1]
+                    cnt = end - start
+                    row = jax.lax.dynamic_slice(padded, (start,), (Q,))
+                    row = jnp.where(
+                        jnp.arange(Q, dtype=jnp.int32) < cnt, row, sp.SENTINEL)
+                    rows.append(row)
+                    drop = drop + jnp.maximum(cnt - Q, 0).astype(jnp.int64)
+                send = jnp.stack(rows)  # [n, Q]
+                if n > 1:
+                    recv = jax.lax.all_to_all(
+                        send, "shard", split_axis=0, concat_axis=0,
+                        tiled=False)
+                else:
+                    recv = send
+                routed = recv.reshape(-1)
+
+                # global deNoise trigger from the last-merged distinct counts
+                gdist = jax.lax.psum(s.ndistinct, "shard")
+
+                def merge_and_sweep(args):
+                    s, rl, merges = args
+                    s = sp.merge(s, key_bits)
+                    do_sweep = (rl > 0) & (gdist >= threshold)
+                    s = jax.lax.cond(do_sweep, sweep_fn, lambda x: x, s)
+                    return s, rl - do_sweep.astype(rl.dtype), merges + 1
+
+                need = s.n_buf + routed.shape[0] > BC
+                s, rl, merges = jax.lax.cond(
+                    need, merge_and_sweep, lambda a: a, (s, rl, merges))
+                s = sp.insert(s, routed)
+                return (s, rl, merges, dropped + drop), ()
+
+            init = (spec, rl, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int64))
+            (spec, rl, merges, dropped), _ = jax.lax.scan(
+                body, init, (codes, lengths))
+            return (
+                spec._replace(
+                    n_main=spec.n_main[None], n_buf=spec.n_buf[None],
+                    ndistinct=spec.ndistinct[None], nelts=spec.nelts[None]),
+                rl[None],
+                merges[None],
+                dropped[None],
+            )
+
+        f = shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(self._spec_pspec(), P("shard"),
+                      P(None, "shard"), P(None, "shard"), P()),
+            out_specs=(self._spec_pspec(), P("shard"), P("shard"), P("shard")),
+            check_vma=False)
+        return jax.jit(f, donate_argnums=(0,))
+
     def merge_fn(self, drop_singletons: bool = False):
         key_bits = self.key_bits
 

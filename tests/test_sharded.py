@@ -59,6 +59,54 @@ def test_sharded_matches_oracle(rng, n_shards):
     assert ne == sum(expect.values())
 
 
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_scan_all_to_all(rng, n_shards):
+    if len(jax.devices()) < n_shards:
+        pytest.skip("not enough devices")
+    import jax.numpy as jnp
+
+    reads = random_reads(rng, 64, 90)
+    batches = _batchify(reads, 16, 96)
+    # stack into supers of S=2 batches, padding the tail
+    S = 2
+    B, L = 16, 96
+    sc = sharded.ShardedCounter(
+        mesh=sharded.make_mesh(n_shards), k=K, key_bits=QB + 8,
+        local_capacity=8192, local_buf_capacity=1 << 14)
+    spec = sc.init()
+    fn = sc.count_scan_fn(S)
+    rl = jnp.zeros((n_shards,), jnp.int32)
+    threshold = jnp.asarray(1 << 62, jnp.int64)
+
+    i = 0
+    total_dropped = 0
+    while i < len(batches):
+        chunk = batches[i : i + S]
+        codes = np.full((S, B, L), 5, np.uint8)
+        lengths = np.zeros((S, B), np.int32)
+        for s, b in enumerate(chunk):
+            codes[s] = b.codes
+            lengths[s] = b.lengths
+        dcodes = jax.device_put(
+            jnp.asarray(codes),
+            jax.sharding.NamedSharding(
+                sc.mesh, jax.sharding.PartitionSpec(None, "shard")),
+        )
+        dlengths = jax.device_put(
+            jnp.asarray(lengths),
+            jax.sharding.NamedSharding(
+                sc.mesh, jax.sharding.PartitionSpec(None, "shard")),
+        )
+        spec, rl, merges, dropped = fn(spec, rl, dcodes, dlengths, threshold)
+        total_dropped += int(np.asarray(dropped).sum())
+        i += S
+    assert total_dropped == 0
+    spec = sc.merge_fn()(spec)
+    keys, counts = sc.gather_spectrum(spec)
+    expect = oracle_count(reads, K, QB + 8)
+    assert dict(zip(keys.tolist(), counts.tolist())) == expect
+
+
 def test_sharded_sweep(rng):
     if len(jax.devices()) < 4:
         pytest.skip("not enough devices")
