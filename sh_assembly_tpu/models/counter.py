@@ -221,6 +221,21 @@ def build_spectrum(
     return spec, stats
 
 
+def default_batch_cfg(sizing: cfg.CounterSizing,
+                      max_read_len: int = 160) -> cfg.BatchConfig:
+    """Batch geometry scaled to the filter size.
+
+    Keeps the log buffer (4x a batch's windows) comparable to the spectrum
+    capacity: tiny filters with huge batches produce extreme sort-extent
+    ratios that compile pathologically slowly on TPU, and oversized batches
+    buy nothing for small datasets.
+    """
+    wrow = max_read_len - sizing.k + 1
+    rows = max(min(8192, sizing.nslots // (8 * wrow)), 128)
+    rows = 1 << (rows.bit_length() - 1)  # round down to a power of two
+    return cfg.BatchConfig(reads_per_batch=rows, max_read_len=max_read_len)
+
+
 def build_spectrum_from_files(
     files: list[str],
     sizing: cfg.CounterSizing,
@@ -230,7 +245,7 @@ def build_spectrum_from_files(
 ) -> tuple[sp.Spectrum, BuildStats]:
     from ..io import native
 
-    batch_cfg = batch_cfg or cfg.BatchConfig()
+    batch_cfg = batch_cfg or default_batch_cfg(sizing)
     stream = native.batches_from_files(
         files, sizing.k, fmode, batch_cfg.reads_per_batch, batch_cfg.max_read_len
     )
