@@ -52,19 +52,9 @@ def _merge_keep(spec: sp.Spectrum, key_bits: int) -> sp.Spectrum:
 
 @functools.partial(jax.jit, static_argnames=("key_bits",), donate_argnums=(0,))
 def _sweep(spec: sp.Spectrum, key_bits: int) -> sp.Spectrum:
-    """Singleton sweep on a merged store: kill count-1 entries, recompact
-    with one packed single-operand sort (multi-operand sorts and scatters
-    are both slow on TPU)."""
-    keep = (spec.keys != sp.SENTINEL) & (spec.counts >= 2)
-    packed = jnp.where(
-        keep,
-        sp._pack(spec.keys, spec.counts, spec.traveled, key_bits),
-        sp.SENTINEL,
-    )
-    keys, counts, trav = sp._unpack(jax.lax.sort(packed), key_bits)
-    n = jnp.sum(keep, dtype=jnp.int64)
-    return spec._replace(keys=keys, counts=counts, traveled=trav,
-                         n_main=n, ndistinct=n)
+    """Singleton sweep on a merged store (sp.sweep: streaming Pallas kernel
+    on TPU, packed single-operand sort elsewhere)."""
+    return sp.sweep(spec, key_bits)
 
 
 @functools.partial(
@@ -92,14 +82,7 @@ def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
     BC = spec.buf_capacity
 
     def sweep_fn(s: sp.Spectrum) -> sp.Spectrum:
-        keep = (s.keys != sp.SENTINEL) & (s.counts >= 2)
-        packed = jnp.where(
-            keep, sp._pack(s.keys, s.counts, s.traveled, key_bits),
-            sp.SENTINEL)
-        keys, counts, trav = sp._unpack(jax.lax.sort(packed), key_bits)
-        n = jnp.sum(keep, dtype=jnp.int64)
-        return s._replace(keys=keys, counts=counts, traveled=trav,
-                          n_main=n, ndistinct=n)
+        return sp.sweep(s, key_bits)
 
     def merge_and_maybe_sweep(args):
         s, rl, merges = args

@@ -122,8 +122,10 @@ def payload_bits(key_bits: int) -> int:
 
 def count_cap(key_bits: int) -> int:
     """Saturation cap for packed counts.  -2 keeps a fully saturated payload
-    strictly below all-ones so no real entry can collide with SENTINEL."""
-    return (1 << (payload_bits(key_bits) - 1)) - 2
+    strictly below all-ones so no real entry can collide with SENTINEL.
+    Clamped to 2^30 so the XLA and Pallas merge paths saturate identically
+    (and scans can accumulate in 32 bits without overflow)."""
+    return min((1 << (payload_bits(key_bits) - 1)) - 2, 1 << 30)
 
 
 def _pack(keys, counts, trav, key_bits: int):
@@ -154,10 +156,67 @@ def _unpack(packed, key_bits: int):
     return keys, counts, trav
 
 
+def _pallas_available() -> bool:
+    """Use the streaming Pallas merge kernel on real TPU backends (the axon
+    tunnel reports platform 'axon').  CPU runs — tests and the virtual-mesh
+    dry runs — take the XLA sort path.  Override: SH_ASSEMBLY_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("SH_ASSEMBLY_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _merge_kernel_path(spec: Spectrum, key_bits: int,
+                       drop_singletons: bool) -> Spectrum:
+    """Merge via the streaming Pallas kernel (ops/merge_pallas): one XLA
+    sort of the buffer + a single O(n) merge-dedup-compact pass, instead of
+    two O(n log^2 n) sorts over main+buffer."""
+    from . import merge_pallas as mp
+
+    C, BC = spec.capacity, spec.buf_capacity
+    L, A = mp.DEF_WINDOW, mp.DEF_ALIGN
+    C_pad = mp._pad_len(C, L, A)
+    BC_pad = mp._pad_len(BC, L, A)
+
+    mh, ml = mp.kernel_pack(spec.keys, spec.counts, spec.traveled, key_bits)
+    padm = jnp.full((C_pad - C,), jnp.uint32(0xFFFFFFFF))
+    mh = jnp.concatenate([mh, padm])
+    ml = jnp.concatenate([ml, padm])
+
+    pb = jax.lax.sort(mp.kernel_pack_buf(spec.buf_keys, key_bits))
+    bh = (pb >> jnp.uint64(32)).astype(jnp.uint32)
+    bl = (pb & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    padb = jnp.full((BC_pad - BC,), jnp.uint32(0xFFFFFFFF))
+    bh = jnp.concatenate([bh, padb])
+    bl = jnp.concatenate([bl, padb])
+
+    oh, ol, n_live = mp.merge_planes(mh, ml, bh, bl, key_bits,
+                                     drop_singletons, window=L, align=A)
+    keys, counts, trav = mp.kernel_unpack(oh[:C], ol[:C], n_live, key_bits)
+    n = n_live.astype(jnp.int64)
+    return Spectrum(
+        keys=keys,
+        counts=counts,
+        traveled=trav,
+        buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64),
+        n_main=n,
+        n_buf=jnp.zeros((), jnp.int64),
+        ndistinct=n,
+        nelts=spec.nelts,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("key_bits", "drop_singletons"))
 def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spectrum:
-    """Fold the buffer into main: two single-operand u64 sorts + linear
-    scans — no random access, no multi-operand sorts.
+    """Fold the buffer into main.
+
+    On TPU this dispatches to the streaming Pallas merge kernel
+    (ops/merge_pallas).  The XLA fallback uses two single-operand u64
+    sorts + linear scans — no random access, no multi-operand sorts:
 
     sort #1 over packed (key|trav|count) groups duplicate keys with the
     max-traveled copy last in each run; an inclusive-cumsum/running-max
@@ -167,6 +226,8 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
     With drop_singletons=True this is the deNoise sweep: runs whose total
     is 1 are purged (semantics of qf_clean_singleton, gqf.c:2792-2876).
     """
+    if _pallas_available():
+        return _merge_kernel_path(spec, key_bits, drop_singletons)
     C, BC = spec.capacity, spec.buf_capacity
     main = _pack(spec.keys, spec.counts, spec.traveled, key_bits)
     main = jnp.where(spec.keys == SENTINEL, SENTINEL, main)
@@ -207,6 +268,24 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
         ndistinct=n_main,
         nelts=spec.nelts,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def sweep(spec: Spectrum, key_bits: int) -> Spectrum:
+    """Singleton deNoise sweep on a *merged* store (buffer must be empty):
+    drop count==1 entries and recompact (qf_clean_singleton semantics,
+    gqf.c:2792-2876).  Uses the streaming kernel on TPU, a packed
+    single-operand sort on other backends."""
+    if _pallas_available():
+        return _merge_kernel_path(spec, key_bits, drop_singletons=True)
+    keep = (spec.keys != SENTINEL) & (spec.counts >= 2)
+    packed = jnp.where(
+        keep, _pack(spec.keys, spec.counts, spec.traveled, key_bits),
+        SENTINEL)
+    keys, counts, trav = _unpack(jax.lax.sort(packed), key_bits)
+    n = jnp.sum(keep, dtype=jnp.int64)
+    return spec._replace(keys=keys, counts=counts, traveled=trav,
+                         n_main=n, ndistinct=n)
 
 
 @jax.jit

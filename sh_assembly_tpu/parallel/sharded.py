@@ -157,15 +157,7 @@ class ShardedCounter:
                 boundaries = jnp.asarray([0, 1 << key_bits], dtype=jnp.uint64)
 
             def sweep_fn(s):
-                keep = (s.keys != sp.SENTINEL) & (s.counts >= 2)
-                packed = jnp.where(
-                    keep, sp._pack(s.keys, s.counts, s.traveled, key_bits),
-                    sp.SENTINEL)
-                keys2, counts2, trav2 = sp._unpack(
-                    jax.lax.sort(packed), key_bits)
-                m = jnp.sum(keep, dtype=jnp.int64)
-                return s._replace(keys=keys2, counts=counts2, traveled=trav2,
-                                  n_main=m, ndistinct=m)
+                return sp.sweep(s, key_bits)
 
             def body(carry, xs):
                 s, rl, merges, dropped = carry
