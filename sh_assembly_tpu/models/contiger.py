@@ -45,7 +45,7 @@ import numpy as np
 
 from .. import config as cfg
 from ..io import fastq
-from ..ops import kmerpack as kp, nthash, spectrum as sp
+from ..ops import kmerpack as kp, nthash, packio, spectrum as sp
 from ..utils import dna
 from ..utils.logging import log
 
@@ -57,22 +57,33 @@ NODE_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 # Stage A: node enumeration
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k", "key_bits", "abundance_min"))
-def _collect_batch(spec: sp.Spectrum, codes, lengths, k: int, key_bits: int,
-                   abundance_min: int):
-    """One batch -> compacted canonical packed solid k-mers + count found."""
-    B, L = codes.shape
+@functools.partial(
+    jax.jit, static_argnames=("k", "key_bits", "abundance_min", "L"),
+    donate_argnums=(1, 2))
+def _collect_super(spec: sp.Spectrum, store_hi, store_lo, packed, nmask,
+                   lengths, k: int, key_bits: int, abundance_min: int,
+                   L: int):
+    """Fold one superstep of read rows into the device node store.
+
+    The store holds the distinct solid canonical (hi, lo) packed k-mers
+    seen so far, pair-sorted ascending with SENTINEL tail.  One dispatch
+    per superstep; the only host sync is the final n_store transfer —
+    the reference instead re-streams reads through per-thread seed loops
+    (processDataChunk, src/contig_assembly.cpp:1839-1924).
+    """
+    codes = packio.unpack(packed, nmask, L)
+    SB = codes.shape[0]
     W = L - k + 1
     keys, valid = nthash.windowed_canonical(codes, lengths, k)
     keys = keys & _U64((1 << key_bits) - 1)
-    counts = sp.query_join(spec, keys.reshape(-1), key_bits).reshape(B, W)
+    counts = sp.query_join(spec, keys.reshape(-1), key_bits).reshape(SB, W)
 
     # windows containing any non-ACGT base are not graph nodes (the
     # reference skips N-containing seeds, contig_assembly.cpp:2068-2071)
     bad = (codes >= 4).astype(jnp.int32)
     cbad = jnp.cumsum(bad, axis=1)
     nfree = (cbad[:, k - 1 :] - jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), cbad[:, : W - 1]], axis=1)) == 0
+        [jnp.zeros((SB, 1), jnp.int32), cbad[:, : W - 1]], axis=1)) == 0
 
     solid = valid & nfree & (counts >= abundance_min)
 
@@ -81,39 +92,93 @@ def _collect_batch(spec: sp.Spectrum, codes, lengths, k: int, key_bits: int,
     chi, clo, _ = kp.canonicalize(hi, lo, rhi, rlo)
 
     flat = solid.reshape(-1)
-    n = jnp.sum(flat, dtype=jnp.int32)
-    dest = jnp.where(flat, jnp.cumsum(flat) - 1, flat.shape[0] - 1)
-    out_hi = jnp.full((flat.shape[0],), _U64(NODE_SENTINEL))
-    out_lo = jnp.full((flat.shape[0],), _U64(NODE_SENTINEL))
-    out_hi = out_hi.at[dest].set(
-        jnp.where(flat, chi.reshape(-1), _U64(NODE_SENTINEL)), mode="drop")
-    out_lo = out_lo.at[dest].set(
-        jnp.where(flat, clo.reshape(-1), _U64(NODE_SENTINEL)), mode="drop")
-    return out_hi, out_lo, n
+    sent = _U64(NODE_SENTINEL)
+    chi = jnp.where(flat, chi.reshape(-1), sent)
+    clo = jnp.where(flat, clo.reshape(-1), sent)
+
+    # merge + dedup: two-key sort groups exact (hi, lo) pairs; keep the
+    # first of each run, re-sort to compact the kills to the tail
+    ah = jnp.concatenate([store_hi, chi])
+    al = jnp.concatenate([store_lo, clo])
+    sh, sl = jax.lax.sort((ah, al), num_keys=2)
+    is_sent = (sh == sent) & (sl == sent)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
+    keep = first & ~is_sent
+    kh = jnp.where(keep, sh, sent)
+    kl = jnp.where(keep, sl, sent)
+    oh, ol = jax.lax.sort((kh, kl), num_keys=2)
+    cap = store_hi.shape[0]
+    n_store = jnp.sum(keep, dtype=jnp.int64)
+    return oh[:cap], ol[:cap], n_store
 
 
 def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
-                  key_bits: int, abundance_min: int):
+                  key_bits: int, abundance_min: int,
+                  super_batch: int = 8, node_cap: int | None = None):
     """Distinct solid canonical k-mers over all read batches -> sorted
-    (hi, lo) numpy arrays."""
-    parts_hi, parts_lo = [], []
+    (hi, lo) numpy arrays.  Device-resident dedup; one D2H at the end."""
+    if node_cap is None:
+        # nodes are a subset of distinct solid hash keys, plus rare extra
+        # k-mers aliased by hash collisions: ndistinct with 1/16 slack
+        nd = max(int(spec.ndistinct), 1024)
+        node_cap = 1 << int(np.ceil(np.log2(nd + nd // 16 + 1024)))
+    # query_join packs run ids into the spare payload bits; keep each
+    # superstep's query batch within that budget
+    p = sp.payload_bits(key_bits)
+    max_rows_total = (1 << (p - 1)) // 2
+
+    store_hi = jnp.full((node_cap,), _U64(NODE_SENTINEL))
+    store_lo = jnp.full((node_cap,), _U64(NODE_SENTINEL))
+    n_store = jnp.zeros((), jnp.int64)
+
+    stack_p, stack_m, stack_l = [], [], []
+    rows = 0
+    Lp = None
+
+    def flush():
+        nonlocal store_hi, store_lo, n_store, stack_p, stack_m, stack_l, rows
+        if not stack_p:
+            return
+        packed = np.concatenate(stack_p, axis=0)
+        nmask = np.concatenate(stack_m, axis=0)
+        lens = np.concatenate(stack_l, axis=0)
+        store_hi, store_lo, n_store = _collect_super(
+            spec, store_hi, store_lo, jnp.asarray(packed),
+            jnp.asarray(nmask), jnp.asarray(lens), k, key_bits,
+            abundance_min, Lp)
+        stack_p, stack_m, stack_l = [], [], []
+        rows = 0
+
     for b in batches:
-        hi, lo, n = _collect_batch(
-            spec, jnp.asarray(b.codes), jnp.asarray(b.lengths), k, key_bits,
-            abundance_min)
-        n = int(n)
-        if n:
-            parts_hi.append(np.asarray(hi[:n]))
-            parts_lo.append(np.asarray(lo[:n]))
-    if not parts_hi:
+        codes = b.codes
+        L = codes.shape[1]
+        Lp_b = (L + 7) // 8 * 8
+        if Lp is None:
+            Lp = Lp_b
+        if Lp_b != Lp:
+            raise ValueError("mixed batch read lengths")
+        if Lp_b != L:
+            codes = np.pad(codes, ((0, 0), (0, Lp_b - L)),
+                           constant_values=5)
+        p_, m_ = packio.pack_np(codes)
+        stack_p.append(p_)
+        stack_m.append(m_)
+        stack_l.append(b.lengths)
+        rows += codes.shape[0]
+        W = Lp - k + 1
+        if rows >= super_batch * codes.shape[0] or rows * W >= max_rows_total:
+            flush()
+    flush()
+
+    n = int(n_store)
+    if n > node_cap:
+        raise RuntimeError(
+            f"node store overflow: {n} distinct solid k-mers > cap "
+            f"{node_cap}; pass a larger node_cap")
+    if n == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    hi = np.concatenate(parts_hi)
-    lo = np.concatenate(parts_lo)
-    order = np.lexsort((lo, hi))
-    hi, lo = hi[order], lo[order]
-    keep = np.ones(len(hi), bool)
-    keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
-    return hi[keep], lo[keep]
+    return np.asarray(store_hi[:n]), np.asarray(store_lo[:n])
 
 
 # --------------------------------------------------------------------------

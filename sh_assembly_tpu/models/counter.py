@@ -31,7 +31,7 @@ import numpy as np
 
 from .. import config as cfg
 from ..io import fastq
-from ..ops import nthash, spectrum as sp
+from ..ops import nthash, packio, spectrum as sp
 from ..utils.logging import log
 
 
@@ -109,6 +109,48 @@ def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
     return spec, rounds_left, merges
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "key_bits", "max_read_len"),
+    donate_argnums=(0,))
+def count_scan_packed(spec: sp.Spectrum, rounds_left: jax.Array,
+                      packed: jax.Array, nmask: jax.Array, lengths: jax.Array,
+                      threshold: jax.Array, k: int, key_bits: int,
+                      max_read_len: int):
+    """count_scan over a 2-bit-packed read stack (ops/packio): the host
+    ships packed u8[S,B,L/4] + nmask u8[S,B,L/8] (4x less feed bandwidth)
+    and each scan step unpacks on device before hashing."""
+    BC = spec.buf_capacity
+    L = max_read_len
+
+    def sweep_fn(s: sp.Spectrum) -> sp.Spectrum:
+        return sp.sweep(s, key_bits)
+
+    def merge_and_maybe_sweep(args):
+        s, rl, merges = args
+        s = sp.merge(s, key_bits)
+        do_sweep = (rl > 0) & (s.ndistinct >= threshold)
+        s = jax.lax.cond(do_sweep, sweep_fn, lambda x: x, s)
+        return s, rl - do_sweep.astype(rl.dtype), merges + 1
+
+    def body(carry, xs):
+        s, rl, merges = carry
+        bpacked, bnmask, blengths = xs
+        bcodes = packio.unpack(bpacked, bnmask, L)
+        keys, valid = nthash.windowed_canonical(bcodes, blengths, k)
+        keys = keys & jnp.uint64((1 << key_bits) - 1)
+        keys = jnp.where(valid, keys, sp.SENTINEL).reshape(-1)
+        need = s.n_buf + keys.shape[0] > BC
+        s, rl, merges = jax.lax.cond(
+            need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
+        s = sp.insert(s, keys)
+        return (s, rl, merges), ()
+
+    init = (spec, rounds_left, jnp.zeros((), jnp.int32))
+    (spec, rounds_left, merges), _ = jax.lax.scan(
+        body, init, (packed, nmask, lengths))
+    return spec, rounds_left, merges
+
+
 @dataclass
 class BuildStats:
     batches: int = 0
@@ -136,7 +178,8 @@ def build_spectrum(
     """
     batch_cfg = batch_cfg or cfg.BatchConfig()
     k, key_bits = sizing.k, sizing.qb + 8
-    windows = batch_cfg.reads_per_batch * (batch_cfg.max_read_len - k + 1)
+    _Lp = (batch_cfg.max_read_len + 7) // 8 * 8
+    windows = batch_cfg.reads_per_batch * (_Lp - k + 1)
     if capacity is None:
         capacity = sizing.nslots  # same memory scaling rule as qf_init
     if buf_capacity is None:
@@ -155,23 +198,34 @@ def build_spectrum(
     threshold = jnp.asarray(sizing.ndistinct_for_deNoise, jnp.int64)
     t0 = time.time()
     S, B, L = super_batch, batch_cfg.reads_per_batch, batch_cfg.max_read_len
+    Lp = (L + 7) // 8 * 8  # packed transport needs L % 8 == 0
 
-    stack_codes = np.full((S, B, L), 5, np.uint8)
+    stack_packed = np.zeros((S, B, Lp // 4), np.uint8)
+    stack_nmask = np.full((S, B, Lp // 8), 0xFF, np.uint8)
     stack_lengths = np.zeros((S, B), np.int32)
     fill = 0
 
     def flush_stack():
         nonlocal spec, rounds_left, fill
-        spec, rounds_left, merges = count_scan(
-            spec, rounds_left, jnp.asarray(stack_codes),
-            jnp.asarray(stack_lengths), threshold, k, key_bits)
+        spec, rounds_left, merges = count_scan_packed(
+            spec, rounds_left, jnp.asarray(stack_packed),
+            jnp.asarray(stack_nmask), jnp.asarray(stack_lengths),
+            threshold, k, key_bits, Lp)
         stats.merges += int(merges)
-        stack_codes.fill(5)
+        stack_packed.fill(0)
+        stack_nmask.fill(0xFF)
         stack_lengths.fill(0)
         fill = 0
 
+    pad_cols = Lp - L
     for batch in batches:
-        stack_codes[fill] = batch.codes
+        codes = batch.codes
+        if pad_cols:
+            codes = np.pad(codes, ((0, 0), (0, pad_cols)),
+                           constant_values=5)
+        p, m = packio.pack_np(codes)
+        stack_packed[fill] = p
+        stack_nmask[fill] = m
         stack_lengths[fill] = batch.lengths
         fill += 1
         stats.batches += 1
