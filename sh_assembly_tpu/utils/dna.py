@@ -85,3 +85,56 @@ def unpack_kmer(hi: int, lo: int, k: int) -> np.ndarray:
 def is_palindrome(seq: str) -> bool:
     """seq equals its own reverse complement (reference: DNA_string.cpp:266)."""
     return seq == revcomp(seq)
+
+
+def is_hairpin(seq: str, length: int = 0) -> bool:
+    """First `length` bases read equal to the reverse complement of the
+    last `length` (reference: DNA_string.cpp:273-304).  length=0 means
+    half the sequence."""
+    n = len(seq)
+    if length == 0:
+        length = n // 2
+    if length > n // 2:
+        raise ValueError("hairpin length exceeds half the sequence")
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    for x in range(length):
+        if seq[x] != comp.get(seq[n - 1 - x], "N"):
+            return False
+    return True
+
+
+def is_simple(seq: str) -> bool:
+    """Single-base repeat (A|C|G|T)* (reference: DNA_string.cpp:306-341)."""
+    return len(seq) > 0 and seq.count(seq[0]) == len(seq)
+
+
+def murmur_hash2(data: bytes, seed: int = 0) -> int:
+    """32-bit MurmurHash2 (reference: base/Hash.h:22-75) — the hash the
+    reference's concurrent unitig map uses for DNAString keys
+    (core/unitig_graph.h:52-93).  Kept for format/test parity; the TPU
+    engine's maps are sorted arrays keyed by packed k-mer bits."""
+    m = 0x5BD1E995
+    r = 24
+    length = len(data)
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length >= 4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+        length -= 4
+    if length >= 3:
+        h ^= data[i + 2] << 16
+    if length >= 2:
+        h ^= data[i + 1] << 8
+    if length >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
