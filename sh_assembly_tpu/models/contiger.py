@@ -233,7 +233,7 @@ def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
     # Phase 1: all 8 successor-probe keys (the batched form of the 8 CQF
     # point queries per extended base, contig_assembly.cpp:3064-3120)
     probe_keys = [node_keys]
-    probe_meta = []  # (o, X, target j, entering orientation)
+    succ_hi, succ_lo, succ_flip = [], [], []
     for o in range(2):
         ohi = hi if o == 0 else rhi
         olo = lo if o == 0 else rlo
@@ -247,10 +247,15 @@ def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
             shi, slo = kp.shift_in_base(ohi, olo, jnp.uint64(X), k)
             srchi, srclo = kp.revcomp_packed(shi, slo, k)
             schi, sclo, sflip = kp.canonicalize(shi, slo, srchi, srclo)
-            j = kp.searchsorted2(hi, lo, schi, sclo)
-            jc = jnp.minimum(j, N - 1)
-            found = (hi[jc] == schi) & (lo[jc] == sclo)
-            probe_meta.append((jnp.where(found, jc, -1), sflip.astype(jnp.int32)))
+            succ_hi.append(schi)
+            succ_lo.append(sclo)
+            succ_flip.append(sflip.astype(jnp.int32))
+    # one sort-join resolves all 8N successor-index lookups (join2 replaces
+    # per-probe binary search: gathers are ~100x a streaming sort on TPU)
+    all_j = kp.join2(hi, lo,
+                     jnp.concatenate(succ_hi),
+                     jnp.concatenate(succ_lo)).reshape(8, N)
+    probe_meta = [(all_j[i], succ_flip[i]) for i in range(8)]
 
     # Phase 2: one sort-join answers all 9N count queries without gathers
     all_counts = sp.query_join(

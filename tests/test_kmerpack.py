@@ -87,3 +87,23 @@ def test_searchsorted2(rng):
     import bisect
     for i, (h, l) in enumerate(zip(qh.tolist(), ql.tolist())):
         assert pos[i] == bisect.bisect_left(comb, (h, l))
+
+
+def test_join2(rng):
+    import jax.numpy as jnp
+    n, q = 500, 2000
+    hi = rng.integers(0, 1 << 40, size=n, dtype=np.uint64)
+    lo = rng.integers(0, 1 << 40, size=n, dtype=np.uint64)
+    # make table distinct
+    pairs = np.unique(np.stack([hi, lo], 1), axis=0)
+    hi, lo = pairs[:, 0].copy(), pairs[:, 1].copy()
+    n = len(hi)
+    pick = rng.integers(0, n, size=q // 2)
+    qhi = np.concatenate([hi[pick], rng.integers(0, 1 << 40, size=q - q // 2, dtype=np.uint64)])
+    qlo = np.concatenate([lo[pick], rng.integers(0, 1 << 40, size=q - q // 2, dtype=np.uint64)])
+    got = np.asarray(kp.join2(jnp.asarray(hi), jnp.asarray(lo),
+                              jnp.asarray(qhi), jnp.asarray(qlo)))
+    lut = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(hi, lo))}
+    exp = np.array([lut.get((int(a), int(b)), -1) for a, b in zip(qhi, qlo)],
+                   dtype=np.int32)
+    np.testing.assert_array_equal(got, exp)
