@@ -65,7 +65,6 @@ def read_file_list(list_path: str) -> list[str]:
 def iter_records(path: str, fmode: str = "auto") -> Iterator[bytes]:
     """Yield raw sequence lines from FASTQ (4-line) or FASTA files."""
     with open_seq_file(path, fmode) as f:
-        first = f.peek(1)[:1] if hasattr(f, "peek") else b"@"
         # FASTA: header lines start with '>'; sequences may span lines.
         probe = f.read(1)
         f.seek(0) if hasattr(f, "seek") else None

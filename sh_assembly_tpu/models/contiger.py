@@ -131,13 +131,18 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
     store_hi = jnp.full((node_cap,), _U64(NODE_SENTINEL))
     store_lo = jnp.full((node_cap,), _U64(NODE_SENTINEL))
     n_store = jnp.zeros((), jnp.int64)
+    # running device-side peak: a mid-run superstep can overflow (truncating
+    # the largest keys) and later supersteps can land back at or below cap,
+    # so the *final* n_store alone cannot prove no truncation happened
+    n_peak = jnp.zeros((), jnp.int64)
 
     stack_p, stack_m, stack_l = [], [], []
     rows = 0
     Lp = None
 
     def flush():
-        nonlocal store_hi, store_lo, n_store, stack_p, stack_m, stack_l, rows
+        nonlocal store_hi, store_lo, n_store, n_peak
+        nonlocal stack_p, stack_m, stack_l, rows
         if not stack_p:
             return
         packed = np.concatenate(stack_p, axis=0)
@@ -147,6 +152,7 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
             spec, store_hi, store_lo, jnp.asarray(packed),
             jnp.asarray(nmask), jnp.asarray(lens), k, key_bits,
             abundance_min, Lp)
+        n_peak = jnp.maximum(n_peak, n_store)
         stack_p, stack_m, stack_l = [], [], []
         rows = 0
 
@@ -161,21 +167,31 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
         if Lp_b != L:
             codes = np.pad(codes, ((0, 0), (0, Lp_b - L)),
                            constant_values=5)
+        W = Lp - k + 1
+        batch_rows = codes.shape[0]
+        if batch_rows * W > max_rows_total:
+            raise ValueError(
+                f"one batch's {batch_rows * W} windows exceed the query_join "
+                f"budget {max_rows_total}; shrink reads_per_batch")
+        # flush BEFORE appending when the stacked windows would blow the
+        # query_join budget (appending first could exceed it by one batch)
+        if rows and (rows + batch_rows) * W > max_rows_total:
+            flush()
         p_, m_ = packio.pack_np(codes)
         stack_p.append(p_)
         stack_m.append(m_)
         stack_l.append(b.lengths)
-        rows += codes.shape[0]
-        W = Lp - k + 1
-        if rows >= super_batch * codes.shape[0] or rows * W >= max_rows_total:
+        rows += batch_rows
+        if rows >= super_batch * batch_rows:
             flush()
     flush()
 
-    n = int(n_store)
-    if n > node_cap:
+    n = int(n_peak)
+    if n >= node_cap:
         raise RuntimeError(
-            f"node store overflow: {n} distinct solid k-mers > cap "
+            f"node store overflow: {n} distinct solid k-mers reached cap "
             f"{node_cap}; pass a larger node_cap")
+    n = int(n_store)
     if n == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     return np.asarray(store_hi[:n]), np.asarray(store_lo[:n])

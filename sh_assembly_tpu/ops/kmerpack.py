@@ -168,12 +168,17 @@ def join2(table_hi: jax.Array, table_lo: jax.Array,
     Q = qhi.shape[0]
     B = max(N.bit_length() + 1, 2)  # bits for (match index + 1)
     assert (Q + N).bit_length() + B <= 63, "join2 packing overflow"
+    # payloads must stay below the tag bit (derived, not hardcoded, so a
+    # huge query batch against a small table fails loudly instead of
+    # bleeding into the tag)
+    shift = max(max(N, Q).bit_length(), 1)
+    assert shift <= 62, "join2 payload overflow"
 
     tag_t = jnp.zeros((N,), jnp.uint64)
     tag_q = jnp.ones((Q,), jnp.uint64)
     pay_t = jnp.arange(N, dtype=jnp.uint64)
     pay_q = jnp.arange(Q, dtype=jnp.uint64)
-    SHIFT = jnp.uint64(40)
+    SHIFT = jnp.uint64(shift)
     ordv = jnp.concatenate([(tag_t << SHIFT) | pay_t,
                             (tag_q << SHIFT) | pay_q])
     h = jnp.concatenate([table_hi, qhi])

@@ -308,8 +308,10 @@ def sweep(spec: Spectrum, key_bits: int) -> Spectrum:
 def query(spec: Spectrum, keys: jax.Array) -> jax.Array:
     """Batched qf_count_key_value (gqf.c:2442-2469); requires a merged store.
 
-    Binary-search implementation — fine for small probe sets; use
-    query_join for large batches (sorts beat gathers on TPU).
+    Binary-search implementation — fine for small probe sets ONLY.  Every
+    heavy pipeline path (Contiger node enumeration and the 9N probe phase)
+    must stay on query_join: random gathers cost ~100x a streaming sort
+    pass on TPU, and this function exists purely for tests/tools.
     """
     pos, found = _locate(spec.keys, keys)
     return jnp.where(found, spec.counts[pos], 0)
