@@ -73,15 +73,14 @@ def main(argv: list[str] | None = None) -> int:
             batch_cfg.max_read_len)
 
     log("[Unitig] find unitigs")
-    graph = contiger.assemble_unitigs(spec, stream(), params,
-                                      key_bits=meta.key_bits)
-    total_len = sum(len(u.seq) for u in graph.unitigs)
-    log(f"Number of unitigs: {len(graph.unitigs)}")
-    log(f"Number of palindrome unitigs: {graph.n_palindromes}")
-    log(f"Total length of unitigs: {total_len}")
+    arrays = contiger.assemble_unitigs_arrays(spec, stream(), params,
+                                              key_bits=meta.key_bits)
+    log(f"Number of unitigs: {arrays.n}")
+    log(f"Number of palindrome unitigs: {arrays.n_palindromes}")
+    log(f"Total length of unitigs: {int(arrays.offsets[-1])}")
 
     log("[Dump] save the unitig graph to file.")
-    graph.write_fasta(args.output)
+    arrays.write_fasta(args.output)
     log(f"Total time: {time.time() - t0:.1f} seconds.")
     return 0
 

@@ -45,7 +45,8 @@ import numpy as np
 
 from .. import config as cfg
 from ..io import fastq
-from ..ops import kmerpack as kp, nthash, packio, spectrum as sp
+from ..ops import kmerpack as kp, kmerpack_np as kpn, nthash, packio, \
+    spectrum as sp
 from ..utils import dna
 from ..utils.logging import log
 
@@ -405,7 +406,7 @@ def path_summary(head, dist, is_tail, hi, lo, rhi, rlo):
 
 
 # --------------------------------------------------------------------------
-# Host assembly: sequences, medians, links, FASTA
+# Host assembly: vectorized sequences, medians, links, FASTA
 # --------------------------------------------------------------------------
 
 def median_int(values: np.ndarray) -> int:
@@ -420,10 +421,98 @@ def median_int(values: np.ndarray) -> int:
     return int(v[n // 2])
 
 
+def check_solid_cap(key_bits: int, solid_abundance_max: int) -> None:
+    """Spectrum counts saturate at count_cap(key_bits); once the cap is at
+    or below solid_abundance_max, a saturated count can stand for a true
+    count above the -X threshold and the seed filter silently diverges
+    from the reference (contig_assembly.cpp:2082).  Refuse to guess."""
+    cap = sp.count_cap(key_bits)
+    if solid_abundance_max >= cap:
+        raise ValueError(
+            f"count saturation cap {cap} (key_bits={key_bits}) is not above "
+            f"solid_abundance_max={solid_abundance_max}: saturated counts "
+            f"would pass the -X seed filter; lower -X below the cap")
+
+
 @dataclass
 class Unitig:
     seq: str
     median_abundance: int
+
+
+@dataclass
+class ArrayUnitigs:
+    """Final unitig graph as flat numpy arrays (SoA) — no per-unitig Python
+    objects, so assembly and FASTA dump stay O(n) vector ops at the 1e7+
+    unitig scale the reference handles (contig_assembly.cpp:277-629).
+
+    Sequence of unitig i = seq_codes[offsets[i]:offsets[i+1]] (2-bit codes);
+    links use the reference's signed-id convention and CSR layout:
+    after_val[after_ptr[i]:after_ptr[i+1]].
+    """
+
+    k: int
+    seq_codes: np.ndarray  # uint8[total] base codes 0..3
+    offsets: np.ndarray  # int64[n+1]
+    med: np.ndarray  # int64[n] median k-mer abundance
+    after_ptr: np.ndarray  # int64[n+1]
+    after_val: np.ndarray  # int64[] signed ids (+-(id+1))
+    before_ptr: np.ndarray  # int64[n+1]
+    before_val: np.ndarray  # int64[]
+    n_palindromes: int = 0
+
+    @property
+    def n(self) -> int:
+        return len(self.med)
+
+    @classmethod
+    def empty(cls, k: int) -> "ArrayUnitigs":
+        z = np.zeros(0, np.int64)
+        p = np.zeros(1, np.int64)
+        return cls(k=k, seq_codes=np.zeros(0, np.uint8), offsets=p, med=z,
+                   after_ptr=p, after_val=z, before_ptr=p, before_val=z)
+
+    def seq(self, i: int) -> str:
+        return dna.decode(self.seq_codes[self.offsets[i]:self.offsets[i + 1]])
+
+    def to_graph(self) -> "UnitigGraph":
+        """Materialize the list-of-objects view (simplification stage /
+        tests); O(n) Python-object cost — avoid on huge graphs."""
+        ascii_buf = dna._CODE2ASCII[self.seq_codes].tobytes()
+        g = UnitigGraph(k=self.k, n_palindromes=self.n_palindromes)
+        offs = self.offsets
+        for i in range(self.n):
+            g.unitigs.append(Unitig(
+                seq=ascii_buf[offs[i]:offs[i + 1]].decode(),
+                median_abundance=int(self.med[i])))
+            g.after.append(
+                self.after_val[self.after_ptr[i]:self.after_ptr[i + 1]]
+                .tolist())
+            g.before.append(
+                self.before_val[self.before_ptr[i]:self.before_ptr[i + 1]]
+                .tolist())
+        return g
+
+    def write_fasta(self, path: str) -> None:
+        """Reference dump format (contig_assembly.cpp:600-629), written from
+        the arrays in buffered chunks."""
+        ascii_buf = dna._CODE2ASCII[self.seq_codes]
+        offs, k = self.offsets, self.k
+        lens = np.diff(offs)
+        kc = self.med * (lens - k + 1)
+        with open(path, "wb", buffering=1 << 22) as f:
+            for i in range(self.n):
+                parts = [f">{i} LN:i:{lens[i]} KC:i:{kc[i]} km:f:{self.med[i]}"]
+                for t in self.after_val[self.after_ptr[i]:self.after_ptr[i + 1]]:
+                    parts.append(f" L:+:{t - 1}:+" if t > 0
+                                 else f" L:+:{-t - 1}:-")
+                for t in self.before_val[self.before_ptr[i]:self.before_ptr[i + 1]]:
+                    parts.append(f" L:-:{t - 1}:+" if t > 0
+                                 else f" L:-:{-t - 1}:-")
+                f.write("".join(parts).encode())
+                f.write(b"\n")
+                f.write(ascii_buf[offs[i]:offs[i + 1]].tobytes())
+                f.write(b"\n")
 
 
 @dataclass
@@ -449,19 +538,47 @@ class UnitigGraph:
                 f.write(f"\n{u.seq}\n")
 
 
-def assemble_unitigs(
+def _connected_components(nbr: np.ndarray, max_rounds: int = 256) -> np.ndarray:
+    """Min-label components over a dense neighbor matrix nbr[d, n] (self-
+    index = no neighbor).  Min-propagation + two pointer jumps per round;
+    converges in O(log^2 n) rounds."""
+    n = nbr.shape[1]
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        l2 = np.minimum(lab, lab[nbr].min(axis=0)) if nbr.size else lab
+        l2 = l2[l2]
+        l2 = l2[l2]
+        if np.array_equal(l2, lab):
+            return lab
+        lab = l2
+    raise RuntimeError("component labeling did not converge")
+
+
+def assemble_unitigs_arrays(
     spec: sp.Spectrum,
     batches: Iterable[fastq.Batch],
     params: cfg.ContigerParams,
     key_bits: int,
-) -> UnitigGraph:
+) -> ArrayUnitigs:
+    """Full Contiger stage -> ArrayUnitigs (vectorized host assembly).
+
+    Device phases A-D as documented at module top; the host pass then
+    materializes sequences/medians/links with numpy segment ops — the
+    batched equivalent of the reference's check_unitig/track_kmer_worker/
+    build_graph_worker passes (contig_assembly.cpp:277-629) — and applies
+    the solid-abundance seed rule: the reference only *starts* unitigs from
+    k-mers with count in [-x, -X] (contig_assembly.cpp:2082) but extends
+    through any k-mer with count >= -s, so a connected component is emitted
+    iff it contains at least one solid k-mer.
+    """
     k = params.k
+    check_solid_cap(key_bits, params.solid_kmer_abundance_max)
     hi_np, lo_np = collect_nodes(spec, batches, k, key_bits,
                                  params.kmer_abundance_min)
     N = len(hi_np)
     log(f"[Contiger] {N} distinct solid k-mers")
     if N == 0:
-        return UnitigGraph(k=k)
+        return ArrayUnitigs.empty(k)
 
     # pad to the next power of two so jit programs are reused across
     # datasets of similar size (sentinel nodes are masked inside)
@@ -478,81 +595,183 @@ def assemble_unitigs(
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
     tail_of, pathlen, keep = path_summary(head, dist, is_tail, hi, lo, rhi, rlo)
 
-    # gather per-oriented-node records of kept paths and sort by (head, dist)
-    a = np.arange(2 * Np)
+    # ---- members of kept oriented paths, sorted by (head, dist) ----------
+    a = np.arange(2 * Np, dtype=np.int64)
     keep_np = np.asarray(keep)
     head_np = np.asarray(head)
     member = keep_np[head_np]
     member &= (a >> 1) < N  # drop sentinel padding nodes
-    heads = head_np[member]
+    heads = head_np[member].astype(np.int64)
     dists = np.asarray(dist)[member]
     ai = a[member]
     node_i = ai >> 1
     orient = ai & 1
+    if len(heads) == 0:
+        return ArrayUnitigs.empty(k)
 
     order = np.lexsort((dists, heads))
-    heads, dists, node_i, orient = (
-        heads[order], dists[order], node_i[order], orient[order])
+    heads, node_i, orient, ai = (
+        heads[order], node_i[order], orient[order], ai[order])
 
-    counts_np = np.asarray(node_counts)
-    hi_host, lo_host = hi_np, lo_np
-    rhi_np, rlo_np = np.asarray(rhi), np.asarray(rlo)
+    counts_np = np.asarray(node_counts).astype(np.int64)
+    rhi_np, rlo_np = np.asarray(rhi)[:N], np.asarray(rlo)[:N]
 
-    # oriented packed kmers of members
-    ohi = np.where(orient == 0, hi_host[node_i], rhi_np[node_i])
-    olo = np.where(orient == 0, lo_host[node_i], rlo_np[node_i])
+    # oriented packed kmers + per-member data
+    ohi = np.where(orient == 0, hi_np[node_i], rhi_np[node_i])
+    olo = np.where(orient == 0, lo_np[node_i], rlo_np[node_i])
+    lastb = kpn.last_base(ohi, olo, k)
+    counts_mem = counts_np[node_i]
 
-    # last base of each member's oriented kmer
-    bits = 2 * k
-    if bits <= 64:
-        lastb = ((ohi >> np.uint64(64 - bits)) & np.uint64(3)).astype(np.uint8)
-    else:
-        lastb = ((olo >> np.uint64(128 - bits)) & np.uint64(3)).astype(np.uint8)
+    starts = np.flatnonzero(np.r_[True, heads[1:] != heads[:-1]]).astype(np.int64)
+    lens = np.diff(np.r_[starts, len(heads)])
+    P = len(starts)
+    tail_pos = starts + lens - 1
 
-    starts = np.flatnonzero(np.r_[True, heads[1:] != heads[:-1]])
-    ends = np.r_[starts[1:], len(heads)]
+    # ---- mirror dedup on oriented indices --------------------------------
+    # every unitig appears as two mirror paths; the device keep-rule (head
+    # kmer <= mirror head kmer) leaves both only when those kmers are
+    # EQUAL, which happens exactly when the unitig is palindromic-headed.
+    # The unordered pair {head, flip(tail)} identifies a mirror pair
+    # exactly, so dedup on it is collision-free.
+    head_idx = heads[starts]
+    mirror_idx = ai[tail_pos] ^ 1
+    pk_lo = np.minimum(head_idx, mirror_idx).astype(np.uint64)
+    pk_hi = np.maximum(head_idx, mirror_idx).astype(np.uint64)
+    comb = (pk_lo << np.uint64(32)) | pk_hi
+    _, first_occ = np.unique(comb, return_index=True)
+    sel = np.zeros(P, bool)
+    sel[first_occ] = True
 
-    unitigs: list[Unitig] = []
-    first_kmers: list[str] = []
-    last_kmers: list[str] = []
-    seen: dict[str, int] = {}
-    n_palin = 0
-    for s, e in zip(starts, ends):
-        codes0 = dna.unpack_kmer(int(ohi[s]), int(olo[s]), k)
-        seq = dna.decode(codes0) + dna.decode(lastb[s + 1 : e])
-        med = median_int(counts_np[node_i[s:e]])
-        canon_seq = min(seq, dna.revcomp(seq))
-        if canon_seq in seen:
-            continue  # palindromic-path mirror duplicate
-        seen[canon_seq] = len(unitigs)
-        if dna.is_palindrome(seq):
-            n_palin += 1
-        unitigs.append(Unitig(seq=seq, median_abundance=med))
-        first_kmers.append(seq[:k])
-        last_kmers.append(seq[-k:])
+    # ---- per-path medians (reference median, Utility.cpp:27-39) ----------
+    seg_id = np.repeat(np.arange(P, dtype=np.int64), lens)
+    ordm = np.lexsort((counts_mem, seg_id))
+    sc = counts_mem[ordm]
+    mid = starts + lens // 2
+    med = np.where(lens % 2 == 1, sc[mid],
+                   (sc[np.maximum(mid - 1, 0)] + sc[mid]) // 2)
 
-    # link map: first kmer -> +(id+1), RC(last kmer) -> -(id+1)
-    # (track_kmer_worker, contig_assembly.cpp:956-1010; palindromic unitigs
-    # collapse to the + entry because the keys coincide)
-    kmer2u: dict[str, int] = {}
-    for i, u in enumerate(unitigs):
-        kmer2u[dna.revcomp(last_kmers[i])] = -(i + 1)
-        kmer2u[first_kmers[i]] = i + 1
+    # ---- solid seed flag per path (contig_assembly.cpp:2082) -------------
+    smin = params.solid_kmer_abundance_min
+    smax = params.solid_kmer_abundance_max
+    seed_mem = (counts_mem >= smin) & (counts_mem <= smax)
+    path_seed = np.add.reduceat(seed_mem.astype(np.int64), starts) > 0
 
-    graph = UnitigGraph(k=k, unitigs=unitigs, n_palindromes=n_palin)
-    for i, u in enumerate(unitigs):
-        aft = []
-        fix = u.seq[-(k - 1):]
-        for X in "ACGT":
-            t = kmer2u.get(fix + X)
-            if t is not None:
-                aft.append(t)
-        bef = []
-        fix = dna.revcomp(u.seq[: k - 1])
-        for X in "TGCA":
-            t = kmer2u.get(fix + X)
-            if t is not None:
-                bef.append(t)
-        graph.after.append(aft)
-        graph.before.append(bef)
-    return graph
+    # ---- select deduped paths --------------------------------------------
+    pids = np.flatnonzero(sel)
+    P2 = len(pids)
+    fhi, flo = ohi[starts[pids]], olo[starts[pids]]  # first kmer
+    thi, tlo = ohi[tail_pos[pids]], olo[tail_pos[pids]]  # last kmer
+    lens2 = lens[pids]
+    med2 = med[pids]
+    seed2 = path_seed[pids]
+    starts2 = starts[pids]
+
+    # ---- link table: first kmer -> +(id+1), RC(last kmer) -> -(id+1) -----
+    # (track_kmer_worker, contig_assembly.cpp:956-1010).  Insertion order
+    # mirrors the dict the previous implementation used: for each id, RC
+    # then first; the LAST write wins on key collisions (palindromic
+    # unitigs collapse to the + entry).
+    rthi, rtlo = kpn.revcomp_packed(thi, tlo, k)  # == mirror head kmer
+    tab_hi = np.empty(2 * P2, np.uint64)
+    tab_lo = np.empty(2 * P2, np.uint64)
+    tab_val = np.empty(2 * P2, np.int64)
+    ids1 = np.arange(P2, dtype=np.int64) + 1
+    tab_hi[0::2], tab_lo[0::2], tab_val[0::2] = rthi, rtlo, -ids1
+    tab_hi[1::2], tab_lo[1::2], tab_val[1::2] = fhi, flo, ids1
+    ordt = np.lexsort((tab_lo, tab_hi))  # stable: position breaks ties
+    th, tl, tv = tab_hi[ordt], tab_lo[ordt], tab_val[ordt]
+    last_of_run = np.empty(2 * P2, bool)
+    last_of_run[-1] = True
+    last_of_run[:-1] = (th[1:] != th[:-1]) | (tl[1:] != tl[:-1])
+    key_hi, key_lo, key_val = (
+        th[last_of_run], tl[last_of_run], tv[last_of_run])
+
+    # ---- link queries (build_graph_worker, contig_assembly.cpp:1012-1084)
+    # after: (last k-1 bases) + X for X in ACGT;
+    # before: RC(first k-1 bases) + X for X in TGCA (shift_in_base on the
+    # RC'd first kmer reproduces RC(seq[:k-1]) + X exactly).
+    rfhi, rflo = kpn.revcomp_packed(fhi, flo, k)
+    qa_hi = np.empty((4, P2), np.uint64)
+    qa_lo = np.empty((4, P2), np.uint64)
+    qb_hi = np.empty((4, P2), np.uint64)
+    qb_lo = np.empty((4, P2), np.uint64)
+    for X in range(4):
+        qa_hi[X], qa_lo[X] = kpn.shift_in_base(thi, tlo, X, k)
+    for xi, X in enumerate((3, 2, 1, 0)):
+        qb_hi[xi], qb_lo[xi] = kpn.shift_in_base(rfhi, rflo, X, k)
+    ja = kpn.join(key_hi, key_lo, qa_hi.reshape(-1), qa_lo.reshape(-1))
+    jb = kpn.join(key_hi, key_lo, qb_hi.reshape(-1), qb_lo.reshape(-1))
+    av4 = np.where(ja >= 0, key_val[np.maximum(ja, 0)], 0).reshape(4, P2)
+    bv4 = np.where(jb >= 0, key_val[np.maximum(jb, 0)], 0).reshape(4, P2)
+
+    # ---- component seed filter (-x/-X semantics) --------------------------
+    self_idx = np.broadcast_to(np.arange(P2, dtype=np.int64), (4, P2))
+    nbr = np.vstack([
+        np.where(av4 != 0, np.abs(av4) - 1, self_idx),
+        np.where(bv4 != 0, np.abs(bv4) - 1, self_idx),
+    ])
+    lab = _connected_components(nbr)
+    comp_seeded = np.zeros(P2, bool)
+    if P2:
+        comp_seeded[np.unique(lab[seed2])] = True
+    keep_u = comp_seeded[lab] if P2 else np.zeros(0, bool)
+    n_dropped = P2 - int(keep_u.sum())
+    if n_dropped:
+        log(f"[Contiger] dropped {n_dropped} unitigs in components with no "
+            f"solid seed (count in [{smin}, {smax}])")
+
+    fsel = np.flatnonzero(keep_u)
+    F = len(fsel)
+    if F == 0:
+        return ArrayUnitigs.empty(k)
+    new_id = np.full(P2, -1, np.int64)
+    new_id[fsel] = np.arange(F)
+
+    def remap_links(v4):
+        vals = v4[:, fsel].T  # (F, 4): per-unitig link lists in X order
+        mask = vals != 0
+        flat = vals[mask]
+        flat = np.sign(flat) * (new_id[np.abs(flat) - 1] + 1)
+        ptr = np.r_[0, np.cumsum(mask.sum(axis=1))]
+        return ptr.astype(np.int64), flat.astype(np.int64)
+
+    after_ptr, after_val = remap_links(av4)
+    before_ptr, before_val = remap_links(bv4)
+
+    # ---- sequence materialization ----------------------------------------
+    lens_f = lens2[fsel]
+    starts_f = starts2[fsel]
+    out_lens = lens_f + k - 1
+    offs = np.r_[0, np.cumsum(out_lens)]
+    seq_codes = np.empty(offs[-1], np.uint8)
+    fhi_f, flo_f = fhi[fsel], flo[fsel]
+    for j in range(k):
+        seq_codes[offs[:-1] + j] = kpn.base_at(fhi_f, flo_f, j, k)
+    m_total = int(lens_f.sum())
+    segf = np.repeat(np.arange(F, dtype=np.int64), lens_f)
+    within = np.arange(m_total, dtype=np.int64) - np.repeat(
+        np.r_[0, np.cumsum(lens_f)[:-1]], lens_f)
+    midx = starts_f[segf] + within
+    nz = within >= 1
+    pos = offs[segf] + (k - 1) + within
+    seq_codes[pos[nz]] = lastb[midx[nz]]
+
+    # ---- palindromes: head kmer == mirror head kmer <=> seq == RC(seq) ----
+    pal = (fhi_f == rthi[fsel]) & (flo_f == rtlo[fsel])
+
+    return ArrayUnitigs(
+        k=k, seq_codes=seq_codes, offsets=offs.astype(np.int64),
+        med=med2[fsel].astype(np.int64),
+        after_ptr=after_ptr, after_val=after_val,
+        before_ptr=before_ptr, before_val=before_val,
+        n_palindromes=int(pal.sum()))
+
+
+def assemble_unitigs(
+    spec: sp.Spectrum,
+    batches: Iterable[fastq.Batch],
+    params: cfg.ContigerParams,
+    key_bits: int,
+) -> UnitigGraph:
+    """Object-graph convenience wrapper over assemble_unitigs_arrays."""
+    return assemble_unitigs_arrays(spec, batches, params, key_bits).to_graph()

@@ -13,7 +13,8 @@ from oracle import oracle_count, random_genome, reads_from_genome
 from unitig_oracle import oracle_unitigs
 
 
-def build_all(reads, k, qb=20, abundance_min=2):
+def build_all(reads, k, qb=20, abundance_min=2, solid_min=2,
+              solid_max=1_000_000):
     """Count reads, then build unitigs; returns (graph, count_of)."""
     sizing = cfg.CounterSizing(
         k=k, qb=qb, hb=qb + 8, num_true_kmers=0, num_false_kmers=0,
@@ -31,7 +32,10 @@ def build_all(reads, k, qb=20, abundance_min=2):
     spec, _ = counter.build_spectrum(
         stream(), sizing, capacity=1 << 15, buf_capacity=1 << 15, batch_cfg=bc)
 
-    params = cfg.ContigerParams(k=k, kmer_abundance_min=abundance_min)
+    params = cfg.ContigerParams(
+        k=k, kmer_abundance_min=abundance_min,
+        solid_kmer_abundance_min=solid_min,
+        solid_kmer_abundance_max=solid_max)
     graph = contiger.assemble_unitigs(spec, stream(), params, key_bits=qb + 8)
 
     counts = oracle_count(reads, k, qb + 8)
@@ -140,6 +144,56 @@ def test_fasta_output_format(tmp_path, rng):
         kc = int(head.split("KC:i:")[1].split()[0])
         assert kc == med * (len(seq) - k + 1)
         assert set(seq) <= set("ACGT")
+
+
+def test_solid_seed_filter_drops_weak_components(rng):
+    # two disjoint genomes: A at high depth, B's k-mers at exactly count 3.
+    # With -x 5 the reference never seeds inside B's component
+    # (contig_assembly.cpp:2082) so none of B's unitigs are emitted, while
+    # A's component still extends through ALL its k-mers (abundance_min=2).
+    k = 21
+    genome_a = random_genome(rng, 1500)
+    genome_b = random_genome(rng, 800)
+    reads = reads_from_genome(rng, genome_a, 700, 80)
+    reads += [genome_b] * 3  # every B k-mer has count exactly 3
+    graph, count_of = build_all(reads, k, solid_min=5)
+    expect = oracle_unitigs(reads, k, count_of, solid_min=5,
+                            solid_max=1_000_000)
+    got = unitig_set(graph)
+    assert got == expect
+    # B's sequence must not appear anywhere in the output
+    for u in graph.unitigs:
+        assert u.seq not in genome_b and dna.revcomp(u.seq) not in genome_b
+    # sanity: without the filter B's component IS emitted
+    graph2, count_of2 = build_all(reads, k)
+    assert any(u.seq in genome_b or dna.revcomp(u.seq) in genome_b
+               for u in graph2.unitigs)
+    assert unitig_set(graph2) == oracle_unitigs(reads, k, count_of2)
+
+
+def test_solid_max_filter(rng):
+    # a component whose every k-mer count exceeds -X is never seeded
+    k = 15
+    genome = random_genome(rng, 200)
+    reads = [genome] * 9  # all counts ~9 (> solid_max=5)
+    graph, count_of = build_all(reads, k, solid_max=5)
+    expect = oracle_unitigs(reads, k, count_of, solid_min=2, solid_max=5)
+    assert unitig_set(graph) == expect == set()
+    graph2, _ = build_all(reads, k)
+    assert len(graph2.unitigs) > 0
+
+
+def test_solid_cap_guard():
+    # saturated counts cannot be compared against -X: must refuse
+    import pytest as _pytest
+
+    from sh_assembly_tpu.ops import spectrum as spc
+
+    key_bits = 44  # cap = 2^19 - 2 < default solid_max
+    assert spc.count_cap(key_bits) < 1_000_000
+    with _pytest.raises(ValueError, match="saturation cap"):
+        contiger.check_solid_cap(key_bits, 1_000_000)
+    contiger.check_solid_cap(33, 1_000_000)  # fine at flagship key_bits
 
 
 def test_cycle_unitig():

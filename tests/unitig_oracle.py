@@ -24,12 +24,19 @@ def solid_read_kmers(reads: list[str], k: int, count_of, abundance_min: int):
     return out
 
 
-def oracle_unitigs(reads: list[str], k: int, count_of, abundance_min: int = 2):
+def oracle_unitigs(reads: list[str], k: int, count_of, abundance_min: int = 2,
+                   solid_min: int | None = None, solid_max: int | None = None):
     """Canonical unitig sequence set via sequential walks.
 
     count_of(kmer_str) must return the abundance of a canonical k-mer (use
     the same count source as the engine under test so collision semantics
     agree).  Returns a set of canonical (min of seq/rc) unitig strings.
+
+    With solid_min/solid_max set, models the reference's -x/-X seed rule
+    (contig_assembly.cpp:2082): traversal only *starts* from k-mers with
+    count in [solid_min, solid_max] but extends through any k-mer with
+    count >= abundance_min, so exactly the connected components containing
+    at least one solid k-mer are emitted.
     """
     nodes = solid_read_kmers(reads, k, count_of, abundance_min)
 
@@ -85,4 +92,33 @@ def oracle_unitigs(reads: list[str], k: int, count_of, abundance_min: int = 2):
         for i in range(len(seq) - k + 1):
             visited.add(dna.canonical(seq[i : i + k]))
         unitigs.add(dna.canonical(seq))
-    return unitigs
+
+    if solid_min is None:
+        return unitigs
+
+    # component seed filter: BFS closure over abundance_min adjacency from
+    # k-mers whose count lies in [solid_min, solid_max]
+    seeds = {n for n in nodes if solid_min <= count_of(n) <= solid_max}
+    reach: set[str] = set()
+    frontier = list(seeds)
+    while frontier:
+        cur = frontier.pop()
+        if cur in reach:
+            continue
+        reach.add(cur)
+        fwd = cur if cur == dna.canonical(cur) else dna.revcomp(cur)
+        for nb in succs(fwd) + preds(fwd):
+            c = dna.canonical(nb)
+            if c not in reach:
+                frontier.append(c)
+        rc = dna.revcomp(fwd)
+        for nb in succs(rc) + preds(rc):
+            c = dna.canonical(nb)
+            if c not in reach:
+                frontier.append(c)
+    kept = set()
+    for useq in unitigs:
+        if any(dna.canonical(useq[i:i + k]) in reach
+               for i in range(len(useq) - k + 1)):
+            kept.add(useq)
+    return kept
