@@ -63,7 +63,7 @@ def main() -> int:
                 spec, rl, stack, lengths, threshold, k, key_bits)
             merges += int(m)
         spec = counter._merge_keep(spec, key_bits)
-        jax.block_until_ready(spec.keys)
+        jax.block_until_ready(spec.hi)
         return spec, rl, merges + 1
 
     # warmup: compiles + fills the spectrum to steady-state occupancy

@@ -52,8 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     if meta.seed != cqf_ser.DEFAULT_SEED:
         log(f"[warn] unexpected CQF seed {meta.seed}")
     capacity = 1 << max(int(len(keys)).bit_length(), 10)
-    spec = sp.from_host(keys, counts.astype("int32"), capacity,
-                        buf_capacity=1 << 10, traveled=traveled)
+    spec = sp.from_host(keys, counts.astype("int64"), capacity,
+                        buf_capacity=1 << 10, key_bits=meta.key_bits,
+                        traveled=traveled)
     log(f"[CQF] {len(keys)} distinct keys, qb={meta.qb} hb={meta.key_bits}")
 
     params = cfg.ContigerParams(

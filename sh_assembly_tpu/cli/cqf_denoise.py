@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     spec, stats = counter.build_spectrum_from_files(
         files, sizing, fmode=fmode, progress_every=200
     )
-    keys, counts, traveled = sp.to_host(spec)
+    keys, counts, traveled = sp.to_host(spec, sizing.hb)
     cqf_ser.write_ser(
         output, keys, counts, qb=sizing.qb, key_bits=sizing.hb,
         nelts=stats.kmers, ndistinct=stats.distinct,

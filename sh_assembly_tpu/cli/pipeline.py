@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     log(f"counted {stats.kmers} k-mers, {stats.distinct} distinct "
         f"({stats.seconds:.1f}s)")
     if args.save_cqf:
-        keys, counts, trav = sp.to_host(spec)
+        keys, counts, trav = sp.to_host(spec, sizing.hb)
         cqf_ser.write_ser(args.save_cqf, keys, counts, qb=sizing.qb,
                           key_bits=sizing.hb, nelts=stats.kmers,
                           ndistinct=stats.distinct)

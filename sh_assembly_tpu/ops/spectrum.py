@@ -4,19 +4,31 @@ This replaces the reference's counting quotient filter (cqf/gqf.c) with a
 structure XLA can vectorize.  External semantics are identical to the CQF as
 used by the pipeline — it maps ``key = min(fh, rh) mod range`` to an exact
 count (two k-mers whose hashes collide mod range conflate, exactly like the
-reference, cqf/CQF_mt.h:636-671) — but the layout is a flat sorted key array
-instead of rank/select bitvector blocks:
+reference, cqf/CQF_mt.h:636-671) — but the layout is a flat sorted array of
+packed entries instead of rank/select bitvector blocks.
 
-  * main store: keys uint64[C] sorted ascending (dead slots = sentinel),
-    counts int32[C], traveled uint8[C] (the GRAPH_TRAVERSE plane,
-    gqf.c:3070-3165).
-  * append buffer: unsorted (key, count=1) pairs for keys not yet in main.
+Memory-parity layout: the main store holds ONE packed 64-bit entry per slot,
+kept as two uint32 planes (the streaming merge kernel's native format,
+ops/merge_pallas.py):
 
-A batch insert is: searchsorted into main -> scatter-add counts of existing
-keys -> compact-append novel keys to the buffer.  When the buffer fills, a
-merge kernel sorts main+buffer together and segment-reduces duplicate keys.
-This two-level design is the lock-free analogue of the reference's per-thread
-local QFs flushed into the shared filter (cqf/CQF_mt.h:588-607).
+  packed = key << KSHIFT | traveled << CBITS | min(count, cap)
+  hi = packed >> 32, lo = packed & 0xffffffff
+  KSHIFT = 64 - key_bits, CBITS = min(KSHIFT, 32) - 1
+
+so lexicographic (hi, lo) order == key order and SENTINEL (empty slot) is
+hi = lo = 0xffffffff.  That is 8 B/slot — within 8x of the reference's
+~1.4 B/slot bit-packed RSQF blocks (gqf.c:63-86) but, unlike round 1's
+13 B/slot unpacked triple, it fits the reference's own flagship sizing in
+one v5e HBM (see CAPACITY.md).  The traveled bit is the GRAPH_TRAVERSE
+plane (gqf.c:3070-3165) carried inside the payload, costing nothing extra.
+
+  * main store: hi/lo uint32[C], key-sorted ascending, SENTINEL tail.
+  * append buffer: raw uint64 canonical keys (count=1 each), unsorted.
+
+A batch insert is a pure append; when the buffer fills, a merge kernel
+sorts the buffer and streams it into main, segment-reducing duplicate keys.
+This two-level design is the lock-free analogue of the reference's
+per-thread local QFs flushed into the shared filter (cqf/CQF_mt.h:588-607).
 
 The deNoise sweep (qf_clean_singleton, gqf.c:2792-2876) becomes a trivially
 vectorized compaction: at a sweep-merge, entries whose total count is 1 are
@@ -35,14 +47,14 @@ import jax.numpy as jnp
 import numpy as np
 
 SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+SENT32 = jnp.uint32(0xFFFFFFFF)
 
 
 class Spectrum(NamedTuple):
     """Device-resident k-mer spectrum (a pytree; all leaves static-shaped)."""
 
-    keys: jax.Array  # uint64[C] sorted; SENTINEL = empty
-    counts: jax.Array  # int32[C]
-    traveled: jax.Array  # uint8[C]; visited marks for the Contiger stage
+    hi: jax.Array  # uint32[C] packed-entry high plane; SENTINEL = all-ones
+    lo: jax.Array  # uint32[C] packed-entry low plane
     buf_keys: jax.Array  # uint64[BC] unsorted novel keys; SENTINEL = empty
     n_main: jax.Array  # int64[] live entries in main
     n_buf: jax.Array  # int64[] live entries in buffer
@@ -51,7 +63,7 @@ class Spectrum(NamedTuple):
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.hi.shape[0]
 
     @property
     def buf_capacity(self) -> int:
@@ -60,9 +72,8 @@ class Spectrum(NamedTuple):
 
 def make(capacity: int, buf_capacity: int) -> Spectrum:
     return Spectrum(
-        keys=jnp.full((capacity,), SENTINEL, dtype=jnp.uint64),
-        counts=jnp.zeros((capacity,), dtype=jnp.int32),
-        traveled=jnp.zeros((capacity,), dtype=jnp.uint8),
+        hi=jnp.full((capacity,), SENT32, dtype=jnp.uint32),
+        lo=jnp.full((capacity,), SENT32, dtype=jnp.uint32),
         buf_keys=jnp.full((buf_capacity,), SENTINEL, dtype=jnp.uint64),
         n_main=jnp.zeros((), dtype=jnp.int64),
         n_buf=jnp.zeros((), dtype=jnp.int64),
@@ -71,13 +82,91 @@ def make(capacity: int, buf_capacity: int) -> Spectrum:
     )
 
 
-def _locate(sorted_keys: jax.Array, queries: jax.Array):
-    """Binary-search queries in the sorted main array -> (pos, found)."""
-    C = sorted_keys.shape[0]
-    pos = jnp.searchsorted(sorted_keys, queries, side="left", method="scan_unrolled")
-    pos = jnp.minimum(pos, C - 1)
-    found = (sorted_keys[pos] == queries) & (queries != SENTINEL)
-    return pos, found
+# ---------------------------------------------------------------------------
+# Packed-entry format
+
+
+def payload_bits(key_bits: int) -> int:
+    """Bits below the key in the packed entry (= KSHIFT)."""
+    p = 64 - key_bits
+    if p < 8:
+        raise ValueError(f"key_bits {key_bits} leaves no payload room")
+    return p
+
+
+def cbits(key_bits: int) -> int:
+    """Width of the count field (traveled bit sits just above it)."""
+    return min(payload_bits(key_bits), 32) - 1
+
+
+def count_cap(key_bits: int) -> int:
+    """Saturation cap for packed counts.  -2 keeps a fully saturated payload
+    strictly below all-ones so no real entry can collide with SENTINEL.
+    Clamped to 2^30 so the XLA and Pallas merge paths saturate identically
+    (and scans can accumulate in 32 bits without overflow).  NOTE: for
+    key_bits >= 44 the cap drops below the reference's default
+    solid_abundance_max=1e6 — the Contiger refuses such configs
+    (models.contiger.check_solid_cap)."""
+    return min((1 << cbits(key_bits)) - 2, 1 << 30)
+
+
+def pack_entries(keys, counts, trav, key_bits: int):
+    """(u64 keys, i32 counts, u8 trav) -> (hi, lo) u32 packed planes.
+
+    Counts saturate at count_cap (the reference's variable-length counters
+    are unbounded, gqf.c:1218, but nothing downstream distinguishes counts
+    beyond the guarded solid_abundance_max).  SENTINEL keys map to the
+    all-ones sentinel planes.
+    """
+    kshift = payload_bits(key_bits)
+    cb = cbits(key_bits)
+    cap = count_cap(key_bits)
+    c = jnp.minimum(counts.astype(jnp.int64), cap).astype(jnp.uint64)
+    t = trav.astype(jnp.uint64) << jnp.uint64(cb)
+    packed = (keys << jnp.uint64(kshift)) | t | c
+    packed = jnp.where(keys == SENTINEL, SENTINEL, packed)
+    hi = (packed >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return hi, lo
+
+
+def unpack_entries(hi, lo, key_bits: int):
+    """(hi, lo) planes -> (keys u64, counts i32, trav u8); sentinel slots
+    become (SENTINEL, 0, 0)."""
+    kshift = payload_bits(key_bits)
+    cb = cbits(key_bits)
+    packed = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    sent = packed == SENTINEL
+    keys = jnp.where(sent, SENTINEL, packed >> jnp.uint64(kshift))
+    counts = jnp.where(
+        sent, 0, (packed & jnp.uint64((1 << cb) - 1))).astype(jnp.int32)
+    trav = jnp.where(
+        sent, 0, (packed >> jnp.uint64(cb)) & jnp.uint64(1)).astype(jnp.uint8)
+    return keys, counts, trav
+
+
+def unpack_entries_np(hi: np.ndarray, lo: np.ndarray, key_bits: int):
+    """Host-side unpack_entries (numpy)."""
+    kshift = payload_bits(key_bits)
+    cb = cbits(key_bits)
+    packed = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    sent = packed == np.uint64(0xFFFFFFFFFFFFFFFF)
+    keys = np.where(sent, np.uint64(0xFFFFFFFFFFFFFFFF),
+                    packed >> np.uint64(kshift))
+    counts = np.where(sent, 0,
+                      packed & np.uint64((1 << cb) - 1)).astype(np.int64)
+    trav = np.where(sent, 0,
+                    (packed >> np.uint64(cb)) & np.uint64(1)).astype(np.uint8)
+    return keys, counts, trav
+
+
+def _packed64(spec: Spectrum) -> jax.Array:
+    return (spec.hi.astype(jnp.uint64) << jnp.uint64(32)) | \
+        spec.lo.astype(jnp.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Hot path: append + merge
 
 
 @jax.jit
@@ -112,50 +201,6 @@ def insert(spec: Spectrum, keys: jax.Array) -> Spectrum:
     )
 
 
-def payload_bits(key_bits: int) -> int:
-    """Bits left for (traveled | count) when a key is packed high in a u64."""
-    p = 64 - key_bits
-    if p < 8:
-        raise ValueError(f"key_bits {key_bits} leaves no payload room")
-    return p
-
-
-def count_cap(key_bits: int) -> int:
-    """Saturation cap for packed counts.  -2 keeps a fully saturated payload
-    strictly below all-ones so no real entry can collide with SENTINEL.
-    Clamped to 2^30 so the XLA and Pallas merge paths saturate identically
-    (and scans can accumulate in 32 bits without overflow)."""
-    return min((1 << (payload_bits(key_bits) - 1)) - 2, 1 << 30)
-
-
-def _pack(keys, counts, trav, key_bits: int):
-    """(key, count, traveled) -> single u64: key | trav-bit | count.
-
-    Multi-operand lax.sort is orders of magnitude slower than single-operand
-    sort on TPU, so merges operate on this packed form.  Counts saturate at
-    count_cap (far above any pipeline threshold; the reference's
-    variable-length counters are unbounded, gqf.c:1218, but nothing
-    downstream distinguishes counts beyond solid_abundance_max).
-    """
-    p = payload_bits(key_bits)
-    cap = count_cap(key_bits)
-    c = jnp.minimum(counts.astype(jnp.int64), cap).astype(jnp.uint64)
-    t = trav.astype(jnp.uint64) << jnp.uint64(p - 1)
-    return (keys << jnp.uint64(p)) | t | c
-
-
-def _unpack(packed, key_bits: int):
-    p = payload_bits(key_bits)
-    keys = packed >> jnp.uint64(p)
-    # re-expand SENTINEL slots to the full all-ones key
-    keys = jnp.where(packed == SENTINEL, SENTINEL, keys)
-    trav = ((packed >> jnp.uint64(p - 1)) & jnp.uint64(1)).astype(jnp.uint8)
-    counts = (packed & jnp.uint64((1 << (p - 1)) - 1)).astype(jnp.int32)
-    counts = jnp.where(packed == SENTINEL, 0, counts)
-    trav = jnp.where(packed == SENTINEL, 0, trav)
-    return keys, counts, trav
-
-
 def _pallas_available() -> bool:
     """Use the streaming Pallas merge kernel on real TPU backends (the axon
     tunnel reports platform 'axon').  CPU runs — tests and the virtual-mesh
@@ -173,8 +218,8 @@ def _pallas_available() -> bool:
 def _merge_kernel_path(spec: Spectrum, key_bits: int,
                        drop_singletons: bool) -> Spectrum:
     """Merge via the streaming Pallas kernel (ops/merge_pallas): one XLA
-    sort of the buffer + a single O(n) merge-dedup-compact pass, instead of
-    two O(n log^2 n) sorts over main+buffer."""
+    sort of the buffer + a single O(n) merge-dedup-compact pass.  The main
+    store is ALREADY in the kernel's plane format — no pack/unpack pass."""
     from . import merge_pallas as mp
 
     C, BC = spec.capacity, spec.buf_capacity
@@ -182,10 +227,9 @@ def _merge_kernel_path(spec: Spectrum, key_bits: int,
     C_pad = mp._pad_len(C, L, A)
     BC_pad = mp._pad_len(BC, L, A)
 
-    mh, ml = mp.kernel_pack(spec.keys, spec.counts, spec.traveled, key_bits)
-    padm = jnp.full((C_pad - C,), jnp.uint32(0xFFFFFFFF))
-    mh = jnp.concatenate([mh, padm])
-    ml = jnp.concatenate([ml, padm])
+    padm = jnp.full((C_pad - C,), SENT32)
+    mh = jnp.concatenate([spec.hi, padm])
+    ml = jnp.concatenate([spec.lo, padm])
 
     if key_bits <= 32:
         # u32 fast path: buf entries pack as hi = key << (kshift-32) with a
@@ -194,36 +238,82 @@ def _merge_kernel_path(spec: Spectrum, key_bits: int,
         # max-key hi only when key_bits == 32; the sorted tail beyond
         # n_valid is the holes either way.
         kshift = 64 - key_bits
-        full32 = jnp.uint32(0xFFFFFFFF)
         n_valid = jnp.sum(spec.buf_keys != SENTINEL, dtype=jnp.int32)
         k32 = jnp.where(
-            spec.buf_keys == SENTINEL, full32,
+            spec.buf_keys == SENTINEL, SENT32,
             (spec.buf_keys << jnp.uint64(kshift - 32)).astype(jnp.uint32))
         bh = jax.lax.sort(k32)
         idxb = jnp.arange(BC, dtype=jnp.int32)
-        bl = jnp.where(idxb < n_valid, jnp.uint32(1), full32)
+        bl = jnp.where(idxb < n_valid, jnp.uint32(1), SENT32)
     else:
         pb = jax.lax.sort(mp.kernel_pack_buf(spec.buf_keys, key_bits))
         bh = (pb >> jnp.uint64(32)).astype(jnp.uint32)
         bl = (pb & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    padb = jnp.full((BC_pad - BC,), jnp.uint32(0xFFFFFFFF))
+    padb = jnp.full((BC_pad - BC,), SENT32)
     bh = jnp.concatenate([bh, padb])
     bl = jnp.concatenate([bl, padb])
 
     oh, ol, n_live = mp.merge_planes(mh, ml, bh, bl, key_bits,
                                      drop_singletons, window=L, align=A)
-    keys, counts, trav = mp.kernel_unpack(oh[:C], ol[:C], n_live, key_bits)
+    # live prefix only; the tail beyond n_live is stale kernel scratch
+    live = jnp.arange(C, dtype=jnp.int32) < n_live
+    hi = jnp.where(live, oh[:C], SENT32)
+    lo = jnp.where(live, ol[:C], SENT32)
     n = n_live.astype(jnp.int64)
     return Spectrum(
-        keys=keys,
-        counts=counts,
-        traveled=trav,
+        hi=hi,
+        lo=lo,
         buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64),
         n_main=n,
         n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n,
         nelts=spec.nelts,
     )
+
+
+def _dedup_pack_sort(packed: jax.Array, key_bits: int, C: int,
+                     drop_singletons: bool):
+    """Shared XLA merge tail: segment-reduce duplicate keys of a key-sorted
+    packed array, then compact survivors by one more sort.  Returns
+    (hi[C], lo[C], n_main).
+
+    Within a key run the max-traveled copy sorts last (the traveled bit
+    sits above the count field), so the last element's traveled flag is the
+    OR of the run.
+    """
+    kshift = payload_bits(key_bits)
+    cb = cbits(key_bits)
+    cap = count_cap(key_bits)
+    sent = packed == SENTINEL
+    # re-expand sentinel slots to the full 64-bit all-ones key so they can
+    # never share a run with a real max-key entry (key == 2^key_bits - 1)
+    keys = jnp.where(sent, SENTINEL, packed >> jnp.uint64(kshift))
+    counts = jnp.where(sent, 0,
+                       packed & jnp.uint64((1 << cb) - 1)).astype(jnp.int64)
+    trav = jnp.where(sent, jnp.uint64(0),
+                     (packed >> jnp.uint64(cb)) & jnp.uint64(1))
+
+    # exact run totals via cumsum + running-max of run-start prefixes
+    S = jnp.cumsum(counts)
+    first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    U = jax.lax.cummax(jnp.where(first, S - counts, jnp.int64(-1)))
+    totals = S - U
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+
+    keep = last & ~sent
+    if drop_singletons:
+        keep = keep & (totals >= 2)
+    tot_c = jnp.minimum(totals, cap).astype(jnp.uint64)
+    survivors = jnp.where(
+        keep,
+        (keys << jnp.uint64(kshift)) | (trav << jnp.uint64(cb)) | tot_c,
+        SENTINEL,
+    )
+    packed2 = jax.lax.sort(survivors)[:C]
+    hi = (packed2 >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (packed2 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    n_main = jnp.sum(keep, dtype=jnp.int64)
+    return hi, lo, n_main
 
 
 @functools.partial(jax.jit, static_argnames=("key_bits", "drop_singletons"))
@@ -234,10 +324,9 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
     (ops/merge_pallas).  The XLA fallback uses two single-operand u64
     sorts + linear scans — no random access, no multi-operand sorts:
 
-    sort #1 over packed (key|trav|count) groups duplicate keys with the
-    max-traveled copy last in each run; an inclusive-cumsum/running-max
-    scan yields exact run totals at the run's last slot; non-last slots are
-    killed to SENTINEL and sort #2 compacts survivors.
+    sort #1 over packed entries groups duplicate keys; an inclusive-cumsum/
+    running-max scan yields exact run totals at the run's last slot;
+    non-last slots are killed to SENTINEL and sort #2 compacts survivors.
 
     With drop_singletons=True this is the deNoise sweep: runs whose total
     is 1 are purged (semantics of qf_clean_singleton, gqf.c:2792-2876).
@@ -245,39 +334,17 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
     if _pallas_available():
         return _merge_kernel_path(spec, key_bits, drop_singletons)
     C, BC = spec.capacity, spec.buf_capacity
-    main = _pack(spec.keys, spec.counts, spec.traveled, key_bits)
-    main = jnp.where(spec.keys == SENTINEL, SENTINEL, main)
+    main = _packed64(spec)
     buf = jnp.where(
         spec.buf_keys == SENTINEL,
         SENTINEL,
         (spec.buf_keys << jnp.uint64(payload_bits(key_bits))) | jnp.uint64(1),
     )
     packed = jax.lax.sort(jnp.concatenate([main, buf]))
-
-    keys, counts, trav = _unpack(packed, key_bits)
-    # exact run totals via cumsum + running-max of run-start prefixes
-    S = jnp.cumsum(counts.astype(jnp.int64))
-    first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-    U = jax.lax.cummax(jnp.where(first, S - counts, jnp.int64(-1)))
-    totals = S - U
-    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-
-    keep = last & (keys != SENTINEL)
-    if drop_singletons:
-        keep = keep & (totals >= 2)
-    survivors = jnp.where(
-        keep,
-        _pack(keys, totals, trav, key_bits),
-        SENTINEL,
-    )
-    packed2 = jax.lax.sort(survivors)[:C]
-    out_keys, out_counts, out_trav = _unpack(packed2, key_bits)
-
-    n_main = jnp.sum(keep, dtype=jnp.int64)
+    hi, lo, n_main = _dedup_pack_sort(packed, key_bits, C, drop_singletons)
     return Spectrum(
-        keys=out_keys,
-        counts=out_counts,
-        traveled=out_trav,
+        hi=hi,
+        lo=lo,
         buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64),
         n_main=n_main,
         n_buf=jnp.zeros((), jnp.int64),
@@ -294,18 +361,42 @@ def sweep(spec: Spectrum, key_bits: int) -> Spectrum:
     single-operand sort on other backends."""
     if _pallas_available():
         return _merge_kernel_path(spec, key_bits, drop_singletons=True)
-    keep = (spec.keys != SENTINEL) & (spec.counts >= 2)
-    packed = jnp.where(
-        keep, _pack(spec.keys, spec.counts, spec.traveled, key_bits),
-        SENTINEL)
-    keys, counts, trav = _unpack(jax.lax.sort(packed), key_bits)
+    cb = cbits(key_bits)
+    packed = _packed64(spec)
+    counts = packed & jnp.uint64((1 << cb) - 1)
+    keep = (packed != SENTINEL) & (counts >= 2)
+    packed = jnp.where(keep, packed, SENTINEL)
+    out = jax.lax.sort(packed)
+    hi = (out >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     n = jnp.sum(keep, dtype=jnp.int64)
-    return spec._replace(keys=keys, counts=counts, traveled=trav,
-                         n_main=n, ndistinct=n)
+    return spec._replace(hi=hi, lo=lo, n_main=n, ndistinct=n)
 
 
-@jax.jit
-def query(spec: Spectrum, keys: jax.Array) -> jax.Array:
+# ---------------------------------------------------------------------------
+# Queries
+
+
+def _locate(spec: Spectrum, queries: jax.Array, key_bits: int):
+    """Binary-search queries in the key-sorted packed planes -> (pos, found).
+
+    A query key compares as (key << kshift): payload bits of real entries
+    are > 0, so side='left' lands on the entry with the matching key.
+    """
+    C = spec.capacity
+    kshift = payload_bits(key_bits)
+    packed = _packed64(spec)
+    q = queries << jnp.uint64(kshift)
+    pos = jnp.searchsorted(packed, q, side="left", method="scan_unrolled")
+    pos = jnp.minimum(pos, C - 1)
+    at = packed[pos]
+    found = ((at >> jnp.uint64(kshift)) == queries) & \
+        (queries != SENTINEL) & (at != SENTINEL)
+    return pos, at, found
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def query(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
     """Batched qf_count_key_value (gqf.c:2442-2469); requires a merged store.
 
     Binary-search implementation — fine for small probe sets ONLY.  Every
@@ -313,8 +404,10 @@ def query(spec: Spectrum, keys: jax.Array) -> jax.Array:
     must stay on query_join: random gathers cost ~100x a streaming sort
     pass on TPU, and this function exists purely for tests/tools.
     """
-    pos, found = _locate(spec.keys, keys)
-    return jnp.where(found, spec.counts[pos], 0)
+    pos, at, found = _locate(spec, keys, key_bits)
+    cb = cbits(key_bits)
+    counts = (at & jnp.uint64((1 << cb) - 1)).astype(jnp.int32)
+    return jnp.where(found, counts, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("key_bits",))
@@ -334,6 +427,7 @@ def query_join(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
     Nq = keys.shape[0]
     C = spec.capacity
     p = payload_bits(key_bits)
+    cb = cbits(key_bits)
     half = jnp.uint64(1) << jnp.uint64(p - 1)
     cmask = half - jnp.uint64(1)
     if Nq >= (1 << (p - 1)):
@@ -341,13 +435,12 @@ def query_join(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
     if (C + Nq).bit_length() + (p - 1) > 63:
         raise ValueError("run-id would overflow the scan packing")
 
-    cap = count_cap(key_bits)
+    packed = _packed64(spec)
+    sent = packed == SENTINEL
+    skeys = packed >> jnp.uint64(p)
+    scounts = packed & jnp.uint64((1 << cb) - 1)
     spec_packed = jnp.where(
-        spec.keys == SENTINEL,
-        SENTINEL,
-        (spec.keys << jnp.uint64(p))
-        | jnp.minimum(spec.counts.astype(jnp.int64), cap).astype(jnp.uint64),
-    )
+        sent, SENTINEL, (skeys << jnp.uint64(p)) | scounts)
     valid = keys != SENTINEL
     qkeys = jnp.where(valid, keys, 0)
     idx = jnp.arange(Nq, dtype=jnp.uint64)
@@ -374,8 +467,8 @@ def query_join(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
     return jnp.where(valid, counts, 0)
 
 
-@jax.jit
-def query_set_traveled(spec: Spectrum, keys: jax.Array):
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def query_set_traveled(spec: Spectrum, keys: jax.Array, key_bits: int):
     """Batched qf_count_key_value_set_traveled (gqf.c:3092-3128).
 
     Returns (counts, was_traveled, spec').  All probes in one batch observe
@@ -383,22 +476,33 @@ def query_set_traveled(spec: Spectrum, keys: jax.Array):
     deliberately unlocked read-modify-write (benign duplicate discovery,
     cleaned later exactly like check_unitig, contig_assembly.cpp:935-954).
     """
-    pos, found = _locate(spec.keys, keys)
-    counts = jnp.where(found, spec.counts[pos], 0)
-    was = jnp.where(found, spec.traveled[pos] != 0, False)
-    trav = spec.traveled.at[jnp.where(found, pos, 0)].max(
-        found.astype(jnp.uint8), mode="drop"
-    )
-    return counts, was, spec._replace(traveled=trav)
+    pos, at, found = _locate(spec, keys, key_bits)
+    cb = cbits(key_bits)
+    counts = jnp.where(
+        found, (at & jnp.uint64((1 << cb) - 1)).astype(jnp.int32), 0)
+    tbit32 = jnp.uint32(1) << jnp.uint32(cb)
+    lo_at = (at & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    was = jnp.where(found, (lo_at & tbit32) != 0, False)
+    # OR the traveled bit in via scatter-max (x | bit >= x for uint32)
+    vals = jnp.where(found, lo_at | tbit32, jnp.uint32(0))
+    lo = spec.lo.at[jnp.where(found, pos, 0)].max(vals, mode="drop")
+    return counts, was, spec._replace(lo=lo)
 
 
-@jax.jit
-def query_is_traveled(spec: Spectrum, keys: jax.Array):
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def query_is_traveled(spec: Spectrum, keys: jax.Array, key_bits: int):
     """Batched read-only variant (gqf.c:3132-3163) -> (counts, traveled)."""
-    pos, found = _locate(spec.keys, keys)
-    counts = jnp.where(found, spec.counts[pos], 0)
-    was = jnp.where(found, spec.traveled[pos] != 0, False)
+    pos, at, found = _locate(spec, keys, key_bits)
+    cb = cbits(key_bits)
+    counts = jnp.where(
+        found, (at & jnp.uint64((1 << cb) - 1)).astype(jnp.int32), 0)
+    tbit = jnp.uint64(1) << jnp.uint64(cb)
+    was = jnp.where(found, (at & tbit) != 0, False)
     return counts, was
+
+
+# ---------------------------------------------------------------------------
+# Set operations (qf_merge family, gqf.c:2614-2763)
 
 
 @functools.partial(jax.jit, static_argnames=("key_bits",))
@@ -407,24 +511,10 @@ def union(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
     merged spectra, summing counts of shared keys.  Result uses a's
     capacities (check_overflow applies)."""
     C, BC = a.capacity, a.buf_capacity
-    pa = jnp.where(a.keys == SENTINEL, SENTINEL,
-                   _pack(a.keys, a.counts, a.traveled, key_bits))
-    pb = jnp.where(b.keys == SENTINEL, SENTINEL,
-                   _pack(b.keys, b.counts, b.traveled, key_bits))
-    packed = jax.lax.sort(jnp.concatenate([pa, pb]))
-    keys, counts, trav = _unpack(packed, key_bits)
-    S = jnp.cumsum(counts.astype(jnp.int64))
-    first = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-    U = jax.lax.cummax(jnp.where(first, S - counts, jnp.int64(-1)))
-    totals = S - U
-    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-    keep = last & (keys != SENTINEL)
-    survivors = jnp.where(keep, _pack(keys, totals, trav, key_bits), SENTINEL)
-    out = jax.lax.sort(survivors)[:C]
-    k2, c2, t2 = _unpack(out, key_bits)
-    n = jnp.sum(keep, dtype=jnp.int64)
+    packed = jax.lax.sort(jnp.concatenate([_packed64(a), _packed64(b)]))
+    hi, lo, n = _dedup_pack_sort(packed, key_bits, C, drop_singletons=False)
     return Spectrum(
-        keys=k2, counts=c2, traveled=t2,
+        hi=hi, lo=lo,
         buf_keys=jnp.full((BC,), SENTINEL, jnp.uint64),
         n_main=n, n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n, nelts=a.nelts + b.nelts,
@@ -435,9 +525,10 @@ def union(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
 def inner_product(a: Spectrum, b: Spectrum, key_bits: int) -> jax.Array:
     """qf_inner_product equivalent (gqf.c:2674-2706): sum over shared keys
     of count_a * count_b."""
-    cb = query_join(b, a.keys, key_bits)
-    va = jnp.where(a.keys == SENTINEL, 0, a.counts).astype(jnp.int64)
-    return jnp.sum(va * cb.astype(jnp.int64))
+    ka, ca, _ = unpack_entries(a.hi, a.lo, key_bits)
+    cb_counts = query_join(b, ka, key_bits)
+    va = jnp.where(ka == SENTINEL, 0, ca).astype(jnp.int64)
+    return jnp.sum(va * cb_counts.astype(jnp.int64))
 
 
 @functools.partial(jax.jit, static_argnames=("key_bits",))
@@ -446,27 +537,38 @@ def intersect(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
     with min(count_a, count_b) (reference inserts the a-count; min is the
     multiset convention and documented divergence)."""
     C, BC = a.capacity, a.buf_capacity
-    cb = query_join(b, a.keys, key_bits)
-    keep = (a.keys != SENTINEL) & (cb > 0)
-    counts = jnp.minimum(a.counts, cb)
-    packed = jnp.where(keep, _pack(a.keys, counts, a.traveled, key_bits),
-                       SENTINEL)
+    ka, ca, ta = unpack_entries(a.hi, a.lo, key_bits)
+    cb_counts = query_join(b, ka, key_bits)
+    keep = (ka != SENTINEL) & (cb_counts > 0)
+    counts = jnp.minimum(ca, cb_counts)
+    hi_k, lo_k = pack_entries(ka, counts, ta, key_bits)
+    packed = jnp.where(
+        keep,
+        (hi_k.astype(jnp.uint64) << jnp.uint64(32)) | lo_k.astype(jnp.uint64),
+        SENTINEL)
     out = jax.lax.sort(packed)[:C]
-    k2, c2, t2 = _unpack(out, key_bits)
+    hi = (out >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     n = jnp.sum(keep, dtype=jnp.int64)
+    _, c2, _ = unpack_entries(hi, lo, key_bits)
     return Spectrum(
-        keys=k2, counts=c2, traveled=t2,
+        hi=hi, lo=lo,
         buf_keys=jnp.full((BC,), SENTINEL, jnp.uint64),
         n_main=n, n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n, nelts=jnp.sum(c2.astype(jnp.int64)),
     )
 
 
-@jax.jit
-def magnitude(a: Spectrum) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def magnitude(a: Spectrum, key_bits: int) -> jax.Array:
     """qf_magnitude equivalent (gqf.c:2744-2763): sqrt(sum count^2)."""
-    v = jnp.where(a.keys == SENTINEL, 0, a.counts).astype(jnp.float64)
+    ka, ca, _ = unpack_entries(a.hi, a.lo, key_bits)
+    v = jnp.where(ka == SENTINEL, 0, ca).astype(jnp.float64)
     return jnp.sqrt(jnp.sum(v * v))
+
+
+# ---------------------------------------------------------------------------
+# Host interop
 
 
 def check_overflow(spec: Spectrum) -> None:
@@ -479,37 +581,38 @@ def check_overflow(spec: Spectrum) -> None:
             f"{spec.capacity}; raise qb / capacity")
 
 
-def to_host(spec: Spectrum):
+def to_host(spec: Spectrum, key_bits: int):
     """Live (keys, counts, traveled) as numpy arrays (requires merged store)."""
     n = int(spec.n_main)
-    return (
-        np.asarray(spec.keys[:n]),
-        np.asarray(spec.counts[:n]),
-        np.asarray(spec.traveled[:n]),
-    )
+    keys, counts, trav = unpack_entries_np(
+        np.asarray(spec.hi[:n]), np.asarray(spec.lo[:n]), key_bits)
+    return keys, counts.astype(np.int64), trav
 
 
 def from_host(keys: np.ndarray, counts: np.ndarray, capacity: int,
-              buf_capacity: int, traveled: np.ndarray | None = None) -> Spectrum:
+              buf_capacity: int, key_bits: int,
+              traveled: np.ndarray | None = None) -> Spectrum:
     """Build a merged device spectrum from host (key, count) arrays."""
     n = len(keys)
     if n > capacity:
         raise ValueError(f"{n} entries exceed capacity {capacity}")
     order = np.argsort(keys, kind="stable")
-    k = np.full(capacity, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
-    c = np.zeros(capacity, dtype=np.int32)
-    t = np.zeros(capacity, dtype=np.uint8)
-    k[:n] = keys[order]
-    c[:n] = counts[order]
-    if traveled is not None:
-        t[:n] = traveled[order]
+    kshift = payload_bits(key_bits)
+    cb = cbits(key_bits)
+    cap = count_cap(key_bits)
+    c = np.minimum(np.asarray(counts, np.int64), cap).astype(np.uint64)
+    t = (np.zeros(n, np.uint64) if traveled is None
+         else np.asarray(traveled, np.uint64) & np.uint64(1))
+    packed = (np.asarray(keys, np.uint64) << np.uint64(kshift)) | \
+        (t << np.uint64(cb)) | c
+    full = np.full(capacity, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    full[:n] = packed[order]
     return Spectrum(
-        keys=jnp.asarray(k),
-        counts=jnp.asarray(c),
-        traveled=jnp.asarray(t),
+        hi=jnp.asarray((full >> np.uint64(32)).astype(np.uint32)),
+        lo=jnp.asarray((full & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
         buf_keys=jnp.full((buf_capacity,), SENTINEL, dtype=jnp.uint64),
         n_main=jnp.asarray(n, jnp.int64),
         n_buf=jnp.zeros((), jnp.int64),
         ndistinct=jnp.asarray(n, jnp.int64),
-        nelts=jnp.asarray(int(counts.sum()), jnp.int64),
+        nelts=jnp.asarray(int(np.asarray(counts, np.int64).sum()), jnp.int64),
     )

@@ -68,8 +68,7 @@ class ShardedCounter:
     def _spec_pspec(self):
         # every Spectrum leaf is sharded on axis 0 except the scalars
         return sp.Spectrum(
-            keys=P("shard"), counts=P("shard"), traveled=P("shard"),
-            buf_keys=P("shard"),
+            hi=P("shard"), lo=P("shard"), buf_keys=P("shard"),
             n_main=P("shard"), n_buf=P("shard"), ndistinct=P("shard"),
             nelts=P("shard"),
         )
@@ -268,12 +267,14 @@ class ShardedCounter:
         """Concatenate per-shard live entries -> global sorted (keys, counts)."""
         n = self.n_shards
         Cl = self.local_capacity
-        keys = np.asarray(spec.keys).reshape(n, Cl)
-        counts = np.asarray(spec.counts).reshape(n, Cl)
+        hi = np.asarray(spec.hi).reshape(n, Cl)
+        lo = np.asarray(spec.lo).reshape(n, Cl)
         n_main = np.asarray(spec.n_main).reshape(-1)
         out_k, out_c = [], []
         for i in range(n):
             m = int(n_main[i])
-            out_k.append(keys[i, :m])
-            out_c.append(counts[i, :m])
+            keys, counts, _ = sp.unpack_entries_np(
+                hi[i, :m], lo[i, :m], self.key_bits)
+            out_k.append(keys)
+            out_c.append(counts)
         return np.concatenate(out_k), np.concatenate(out_c)

@@ -26,8 +26,8 @@ def build_from_reads(reads, sizing, reads_per_batch=64, max_read_len=96):
     return spec, stats
 
 
-def spec_dict(spec):
-    keys, counts, _ = sp.to_host(spec)
+def spec_dict(spec, key_bits=28):
+    keys, counts, _ = sp.to_host(spec, key_bits)
     return dict(zip(keys.tolist(), counts.tolist()))
 
 
@@ -77,7 +77,7 @@ def test_small_range_collisions(rng):
     sizing = sizing_no_denoise(k, qb=4)  # range = 2^12
     spec, _ = build_from_reads(reads, sizing)
     expect = oracle_count(reads, k, sizing.qb + 8)
-    assert spec_dict(spec) == expect
+    assert spec_dict(spec, sizing.qb + 8) == expect
 
 
 def test_end_denoise_sweep(rng):

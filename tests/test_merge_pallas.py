@@ -136,9 +136,7 @@ def test_spectrum_merge_kernel_path_matches_xla():
 
     n = int(ref.n_main)
     assert int(got.n_main) == n
-    np.testing.assert_array_equal(np.asarray(got.keys)[:n],
-                                  np.asarray(ref.keys)[:n])
-    np.testing.assert_array_equal(np.asarray(got.counts)[:n],
-                                  np.asarray(ref.counts)[:n])
-    np.testing.assert_array_equal(np.asarray(got.traveled)[:n],
-                                  np.asarray(ref.traveled)[:n])
+    np.testing.assert_array_equal(np.asarray(got.hi)[:n],
+                                  np.asarray(ref.hi)[:n])
+    np.testing.assert_array_equal(np.asarray(got.lo)[:n],
+                                  np.asarray(ref.lo)[:n])

@@ -17,7 +17,7 @@ def build(keys):
 
 
 def as_dict(spec):
-    k, c, _ = sp.to_host(spec)
+    k, c, _ = sp.to_host(spec, KB)
     return dict(zip(k.tolist(), c.tolist()))
 
 
@@ -54,4 +54,4 @@ def test_magnitude(rng):
     sa = build(a)
     da = as_dict(sa)
     expect = np.sqrt(sum(v * v for v in da.values()))
-    assert abs(float(sp.magnitude(sa)) - expect) < 1e-6
+    assert abs(float(sp.magnitude(sa, KB)) - expect) < 1e-6

@@ -12,7 +12,7 @@ KB = 40  # key_bits used for packed merges in these tests
 
 
 def to_dict(spec):
-    keys, counts, _ = sp.to_host(spec)
+    keys, counts, _ = sp.to_host(spec, KB)
     return dict(zip(keys.tolist(), counts.tolist()))
 
 
@@ -81,7 +81,7 @@ def test_query(rng):
     spec = sp.merge(spec, KB)
     expect = ref_counts([keys])
     probes = np.concatenate([keys[:50], np.array([123456789, SENT], np.uint64)])
-    got = np.asarray(sp.query(spec, jnp.asarray(probes)))
+    got = np.asarray(sp.query(spec, jnp.asarray(probes), KB))
     for p, g in zip(probes.tolist(), got.tolist()):
         assert g == expect.get(p, 0)
 
@@ -98,7 +98,7 @@ def test_query_join_matches_query(rng):
         np.array([SENT, SENT], np.uint64),
     ])
     rng.shuffle(probes)
-    a = np.asarray(sp.query(spec, jnp.asarray(probes)))
+    a = np.asarray(sp.query(spec, jnp.asarray(probes), KB))
     b = np.asarray(sp.query_join(spec, jnp.asarray(probes), KB))
     np.testing.assert_array_equal(a, b)
 
@@ -111,14 +111,14 @@ def test_traveled_semantics(rng):
     spec = sp.merge(spec, KB)
 
     probes = jnp.asarray(np.array([5, 5, 99], np.uint64))
-    counts, was, spec = sp.query_set_traveled(spec, probes)
+    counts, was, spec = sp.query_set_traveled(spec, probes, KB)
     # batched probes all see the pre-batch state (benign-race analogue)
     assert np.asarray(counts).tolist() == [1, 1, 0]
     assert np.asarray(was).tolist() == [False, False, False]
-    counts2, was2, spec = sp.query_set_traveled(spec, probes)
+    counts2, was2, spec = sp.query_set_traveled(spec, probes, KB)
     assert np.asarray(was2).tolist() == [True, True, False]
     # read-only variant does not set
-    counts3, was3 = sp.query_is_traveled(spec, jnp.asarray(np.array([6], np.uint64)))
+    counts3, was3 = sp.query_is_traveled(spec, jnp.asarray(np.array([6], np.uint64)), KB)
     assert np.asarray(was3).tolist() == [False]
 
 
@@ -127,19 +127,60 @@ def test_merge_preserves_traveled():
     spec = sp.make(C, BC)
     spec = sp.insert(spec, jnp.asarray(np.array([5, 6], np.uint64)))
     spec = sp.merge(spec, KB)
-    _, _, spec = sp.query_set_traveled(spec, jnp.asarray(np.array([5], np.uint64)))
+    _, _, spec = sp.query_set_traveled(spec, jnp.asarray(np.array([5], np.uint64)), KB)
     spec = sp.insert(spec, jnp.asarray(np.array([8], np.uint64)))
     spec = sp.merge(spec, KB)
-    keys, counts, trav = sp.to_host(spec)
+    keys, counts, trav = sp.to_host(spec, KB)
     d = dict(zip(keys.tolist(), trav.tolist()))
     assert d[5] == 1 and d[6] == 0 and d[8] == 0
+
+
+def test_max_key_vs_sentinel_runs():
+    # the maximum representable key (2^key_bits - 1) shares its extracted
+    # key value with SENTINEL padding slots; merges must still keep it
+    # (regression: the packed-plane dedup scan once merged their runs)
+    kb = 12
+    spec = sp.make(256, 128)
+    keys = np.array([0, 1, 1, 4095, 4095, 4095], np.uint64)
+    spec = sp.insert(spec, jnp.asarray(keys))
+    spec = sp.merge(spec, kb)
+    k, c, _ = sp.to_host(spec, kb)
+    assert dict(zip(k.tolist(), c.tolist())) == {0: 1, 1: 2, 4095: 3}
+    spec = sp.merge(sp.insert(
+        spec, jnp.asarray(np.array([4095], np.uint64))), kb,
+        drop_singletons=True)
+    k, c, _ = sp.to_host(spec, kb)
+    assert dict(zip(k.tolist(), c.tolist())) == {1: 2, 4095: 4}
+
+
+def test_near_capacity_flagship_keybits(rng):
+    # flagship packing geometry (key_bits = qb + 8 = 37) driven to ~95%
+    # load: all entries survive, counts exact, overflow check passes
+    kb = 37
+    C, BC = 1 << 14, 1 << 13
+    target = int(C * 0.95)
+    keys = rng.integers(0, 1 << kb, size=target, dtype=np.uint64)
+    spec = sp.make(C, BC)
+    for i in range(0, target, BC // 2):
+        spec = sp.insert(spec, jnp.asarray(keys[i : i + BC // 2]))
+        spec = sp.merge(spec, kb)
+    sp.check_overflow(spec)
+    expect = ref_counts([keys])
+    assert to_dict_kb(spec, kb) == expect
+    assert int(spec.n_main) == len(expect)
+    assert int(spec.n_main) > 0.9 * C
+
+
+def to_dict_kb(spec, kb):
+    keys, counts, _ = sp.to_host(spec, kb)
+    return dict(zip(keys.tolist(), counts.tolist()))
 
 
 def test_from_host_roundtrip(rng):
     keys = np.unique(rng.integers(0, 1 << 40, size=300).astype(np.uint64))
     counts = rng.integers(1, 100, size=len(keys)).astype(np.int32)
-    spec = sp.from_host(keys, counts, 1024, 256)
-    k2, c2, _ = sp.to_host(spec)
+    spec = sp.from_host(keys, counts, 1024, 256, key_bits=KB)
+    k2, c2, _ = sp.to_host(spec, KB)
     np.testing.assert_array_equal(np.sort(keys), k2)
     assert dict(zip(keys.tolist(), counts.tolist())) == dict(
         zip(k2.tolist(), c2.tolist())
