@@ -236,6 +236,7 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
             smem[6] = 0  # carry trav
             smem[7] = 1  # carry is-sent
             smem[8] = 0  # total nelts folded (diagnostic)
+            smem[9] = 0  # singleton runs dropped (drop_singletons only)
 
         I = smem[0]
         J = smem[1]
@@ -359,6 +360,18 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
         keep = nxt_first & ~is_sent
         if drop_singletons:
             keep = keep & (tot >= 2)
+            # count the dropped runs (each removed key had exactly one
+            # occurrence) so callers can keep reference nelts bookkeeping
+            # (qf_clean_singleton_with_lock decrements nelts by
+            # removed_elts, CQF_mt.h:1037-1038)
+            dr = (nxt_first & ~is_sent & (tot < 2)).astype(U32)
+            d = 1
+            while d < T:
+                valid = idxT >= d
+                dr = jnp.where(valid, dr + _shift_down(dr, d, np.uint32(0)),
+                               dr)
+                d *= 2
+            n_drop_blk = dr[Tr - 1, LANES - 1].astype(jnp.int32)
 
         # carry-out = the open run at T-1 (aggregated), via static reads
         last_r = Tr - 1
@@ -373,6 +386,13 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
         first0 = first.astype(U32)[0, 0] == 1
         demit = first0 & (c_sent == 0) & \
             ((c_cnt >= 2) if drop_singletons else (c_cnt >= 1))
+        if drop_singletons:
+            drop_carry = (first0 & (c_sent == 0) & (c_cnt < 2)) \
+                .astype(jnp.int32)
+            new_dropped = smem[9] + n_drop_blk + drop_carry
+            smem[9] = new_dropped
+        else:
+            new_dropped = jnp.int32(0)
 
         # pack emitted entries
         eh = jnp.where(keep, kh, sent)
@@ -461,8 +481,9 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
         def _():
             r8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
             c8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-            vmeta[:, :] = jnp.where((r8 == 0) & (c8 == 0), new_out_abs,
-                                    jnp.int32(0))
+            vmeta[:, :] = jnp.where(
+                (r8 == 0) & (c8 == 0), new_out_abs,
+                jnp.where((r8 == 0) & (c8 == 1), new_dropped, jnp.int32(0)))
             cp_meta = pltpu.make_async_copy(vmeta, meta_ref, sem_meta)
             cp_meta.start()
             cp_meta.wait()
@@ -482,8 +503,10 @@ def merge_planes(mh, ml, bh, bl, key_bits: int,
     mh/ml: u32[C_pad] main planes, key-sorted, SENTINEL padded, C_pad
       multiple of `align` and >= window + align.
     bh/bl: u32[BC_pad] buf planes, key-sorted, SENTINEL padded likewise.
-    Returns (out_hi, out_lo, n_live) with out length C_pad + BC_pad
-    (live prefix of n_live entries; tail is garbage — mask before use).
+    Returns (out_hi, out_lo, n_live, n_dropped) with out length
+    C_pad + BC_pad (live prefix of n_live entries; tail is garbage — mask
+    before use).  n_dropped counts singleton runs removed (0 unless
+    drop_singletons).
     """
     L, A = window, align
     T = L - A
@@ -533,7 +556,8 @@ def merge_planes(mh, ml, bh, bl, key_bits: int,
       bh.reshape(-1, LANES), bl.reshape(-1, LANES))
 
     n_live = meta[0, 0]
-    return oh.reshape(-1), ol.reshape(-1), n_live
+    n_dropped = meta[0, 1]
+    return oh.reshape(-1), ol.reshape(-1), n_live, n_dropped
 
 
 # ---------------------------------------------------------------------------

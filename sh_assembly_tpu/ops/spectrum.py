@@ -253,8 +253,8 @@ def _merge_kernel_path(spec: Spectrum, key_bits: int,
     bh = jnp.concatenate([bh, padb])
     bl = jnp.concatenate([bl, padb])
 
-    oh, ol, n_live = mp.merge_planes(mh, ml, bh, bl, key_bits,
-                                     drop_singletons, window=L, align=A)
+    oh, ol, n_live, n_dropped = mp.merge_planes(
+        mh, ml, bh, bl, key_bits, drop_singletons, window=L, align=A)
     # live prefix only; the tail beyond n_live is stale kernel scratch
     live = jnp.arange(C, dtype=jnp.int32) < n_live
     hi = jnp.where(live, oh[:C], SENT32)
@@ -267,7 +267,9 @@ def _merge_kernel_path(spec: Spectrum, key_bits: int,
         n_main=n,
         n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n,
-        nelts=spec.nelts,
+        # each dropped singleton run was one occurrence: reference nelts
+        # bookkeeping (qf_clean_singleton_with_lock, CQF_mt.h:1037-1038)
+        nelts=spec.nelts - n_dropped.astype(jnp.int64),
     )
 
 
@@ -301,7 +303,9 @@ def _dedup_pack_sort(packed: jax.Array, key_bits: int, C: int,
     last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
 
     keep = last & ~sent
+    n_dropped = jnp.zeros((), jnp.int64)
     if drop_singletons:
+        n_dropped = jnp.sum(keep & (totals < 2), dtype=jnp.int64)
         keep = keep & (totals >= 2)
     tot_c = jnp.minimum(totals, cap).astype(jnp.uint64)
     survivors = jnp.where(
@@ -313,7 +317,7 @@ def _dedup_pack_sort(packed: jax.Array, key_bits: int, C: int,
     hi = (packed2 >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (packed2 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     n_main = jnp.sum(keep, dtype=jnp.int64)
-    return hi, lo, n_main
+    return hi, lo, n_main, n_dropped
 
 
 @functools.partial(jax.jit, static_argnames=("key_bits", "drop_singletons"))
@@ -341,7 +345,8 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
         (spec.buf_keys << jnp.uint64(payload_bits(key_bits))) | jnp.uint64(1),
     )
     packed = jax.lax.sort(jnp.concatenate([main, buf]))
-    hi, lo, n_main = _dedup_pack_sort(packed, key_bits, C, drop_singletons)
+    hi, lo, n_main, n_dropped = _dedup_pack_sort(
+        packed, key_bits, C, drop_singletons)
     return Spectrum(
         hi=hi,
         lo=lo,
@@ -349,7 +354,7 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
         n_main=n_main,
         n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n_main,
-        nelts=spec.nelts,
+        nelts=spec.nelts - n_dropped,
     )
 
 
@@ -364,13 +369,16 @@ def sweep(spec: Spectrum, key_bits: int) -> Spectrum:
     cb = cbits(key_bits)
     packed = _packed64(spec)
     counts = packed & jnp.uint64((1 << cb) - 1)
-    keep = (packed != SENTINEL) & (counts >= 2)
+    real = packed != SENTINEL
+    keep = real & (counts >= 2)
+    n_dropped = jnp.sum(real & ~keep, dtype=jnp.int64)
     packed = jnp.where(keep, packed, SENTINEL)
     out = jax.lax.sort(packed)
     hi = (out >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     n = jnp.sum(keep, dtype=jnp.int64)
-    return spec._replace(hi=hi, lo=lo, n_main=n, ndistinct=n)
+    return spec._replace(hi=hi, lo=lo, n_main=n, ndistinct=n,
+                         nelts=spec.nelts - n_dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -512,7 +520,8 @@ def union(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
     capacities (check_overflow applies)."""
     C, BC = a.capacity, a.buf_capacity
     packed = jax.lax.sort(jnp.concatenate([_packed64(a), _packed64(b)]))
-    hi, lo, n = _dedup_pack_sort(packed, key_bits, C, drop_singletons=False)
+    hi, lo, n, _ = _dedup_pack_sort(packed, key_bits, C,
+                                    drop_singletons=False)
     return Spectrum(
         hi=hi, lo=lo,
         buf_keys=jnp.full((BC,), SENTINEL, jnp.uint64),

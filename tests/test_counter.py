@@ -92,6 +92,58 @@ def test_end_denoise_sweep(rng):
     assert stats.sweeps == 1
 
 
+def test_denoise_cadence_divergence_bounded(rng):
+    """Quantify the documented trigger-cadence divergence: the reference
+    checks needDeNoise after every chunk (CQF_mt.h:858-869) while the
+    log-structured store checks at merge boundaries, so our sweep fires a
+    little later.  A k-mer 'escapes' only if its 2nd occurrence arrives
+    between the two trigger points; on a realistic 30x schedule that set
+    must stay a small fraction of the distinct keys.  Pure dict simulation
+    (no device)."""
+    from sh_assembly_tpu.utils import nthash as nh
+    from sh_assembly_tpu.utils import dna
+
+    k, qb = 21, 20
+    mask = (1 << (qb + 8)) - 1
+    genome = random_genome(rng, 4000)
+    reads = reads_from_genome(rng, genome, 1500, 70, error_rate=0.015)
+    chunk_size = 50  # reads per reference "chunk"
+    merge_every = 6  # chunks per merge (our sweep opportunity)
+    threshold = 3500
+
+    def key_stream():
+        for r in reads:
+            codes = dna.encode(r)
+            # same N-free handling both sides: plain windows suffice here
+            for key in nh.canonical_windowed(codes, k):
+                yield int(key) & mask
+
+    def simulate(check_every_chunk: bool):
+        counts: dict[int, int] = {}
+        rounds = 1
+        i = 0
+        chunk = 0
+        for key in key_stream():
+            counts[key] = counts.get(key, 0) + 1
+            i += 1
+            if i % (chunk_size * 60) == 0:  # ~60 windows per read
+                chunk += 1
+                at_merge = chunk % merge_every == 0
+                if rounds and (check_every_chunk or at_merge) and \
+                        len(counts) >= threshold:
+                    counts = {k_: v for k_, v in counts.items() if v >= 2}
+                    rounds -= 1
+        return counts
+
+    ref = simulate(True)
+    ours = simulate(False)
+    escaped = set(ours) - set(ref)
+    # escapes exist (the divergence is real) but bounded: < 2% of distinct
+    assert len(escaped) <= 0.02 * len(ref)
+    # and every escapee is a would-be singleton that gained a later copy
+    assert all(ours[k_] >= 2 for k_ in escaped)
+
+
 def test_triggered_denoise_round(rng):
     # one mid-stream sweep at a fixed distinct-count threshold: emulate the
     # oracle by replaying batches in the same order with the same trigger.

@@ -105,13 +105,16 @@ def test_merge_kernel_vs_oracle(seed, key_bits, C_real, BC_real, drop, hot):
         pb = jax.lax.sort(mp.kernel_pack_buf(jnp.asarray(bufk), key_bits))
         bh = (pb >> jnp.uint64(32)).astype(jnp.uint32)
         bl = (pb & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        oh, ol, n_live = mp.merge_planes(mh, ml, bh, bl, key_bits, drop,
-                                         window=L, align=A)
+        oh, ol, n_live, n_dropped = mp.merge_planes(
+            mh, ml, bh, bl, key_bits, drop, window=L, align=A)
         ok, oc, ot = mp.kernel_unpack(oh, ol, n_live, key_bits)
 
     n = int(np.asarray(n_live))
     exp = oracle(keys, counts, trav, bufk, cap, drop)
     assert n == len(exp)
+    exp_all = oracle(keys, counts, trav, bufk, cap, False)
+    assert int(np.asarray(n_dropped)) == (len(exp_all) - len(exp) if drop
+                                          else 0)
     ga = np.asarray(ok)[:n]
     gc = np.asarray(oc)[:n]
     gt = np.asarray(ot)[:n]
