@@ -591,6 +591,28 @@ def assemble_unitigs_arrays(
     lo = jnp.asarray(lo_pad)
     nsucc, chain_next, node_counts = build_oriented_graph(
         spec, hi, lo, k, key_bits, params.kmer_abundance_min)
+    real = np.zeros(Np, bool)
+    real[:N] = True
+    return finalize_unitigs(hi, lo, real, node_counts, chain_next, params)
+
+
+def finalize_unitigs(
+    hi: jax.Array,
+    lo: jax.Array,
+    real: np.ndarray,
+    node_counts: jax.Array,
+    chain_next: jax.Array,
+    params: cfg.ContigerParams,
+) -> ArrayUnitigs:
+    """Contraction + vectorized host assembly, shared by the single-device
+    and sharded Contiger paths.
+
+    hi/lo: padded node k-mers [Np] (SENTINEL holes allowed anywhere);
+    real: bool[Np] live-node mask; chain_next: int32[2*Np] oriented
+    successor indices (-1 = none) in the same global numbering.
+    """
+    k = params.k
+    Np = hi.shape[0]
     head, dist, is_tail = contract_paths(chain_next)
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
     tail_of, pathlen, keep = path_summary(head, dist, is_tail, hi, lo, rhi, rlo)
@@ -600,7 +622,7 @@ def assemble_unitigs_arrays(
     keep_np = np.asarray(keep)
     head_np = np.asarray(head)
     member = keep_np[head_np]
-    member &= (a >> 1) < N  # drop sentinel padding nodes
+    member &= real[a >> 1]  # drop sentinel padding nodes
     heads = head_np[member].astype(np.int64)
     dists = np.asarray(dist)[member]
     ai = a[member]
@@ -614,7 +636,8 @@ def assemble_unitigs_arrays(
         heads[order], node_i[order], orient[order], ai[order])
 
     counts_np = np.asarray(node_counts).astype(np.int64)
-    rhi_np, rlo_np = np.asarray(rhi)[:N], np.asarray(rlo)[:N]
+    hi_np, lo_np = np.asarray(hi), np.asarray(lo)
+    rhi_np, rlo_np = np.asarray(rhi), np.asarray(rlo)
 
     # oriented packed kmers + per-member data
     ohi = np.where(orient == 0, hi_np[node_i], rhi_np[node_i])
