@@ -438,6 +438,12 @@ def check_solid_cap(key_bits: int, solid_abundance_max: int) -> None:
 class Unitig:
     seq: str
     median_abundance: int
+    # mean k-mer abundance — Minia/gatb-core's RCTC coverage metric
+    # (Simplifications.cpp uses unitig MEAN abundance, not median); carried
+    # in-memory for the in-framework simplification stage.  The FASTA
+    # km:f: field stays the reference's median for byte parity
+    # (contig_assembly.cpp:610-626).
+    mean_abundance: float = 0.0
 
 
 @dataclass
@@ -460,6 +466,7 @@ class ArrayUnitigs:
     before_ptr: np.ndarray  # int64[n+1]
     before_val: np.ndarray  # int64[]
     n_palindromes: int = 0
+    mean: np.ndarray | None = None  # float64[n] mean k-mer abundance
 
     @property
     def n(self) -> int:
@@ -470,7 +477,8 @@ class ArrayUnitigs:
         z = np.zeros(0, np.int64)
         p = np.zeros(1, np.int64)
         return cls(k=k, seq_codes=np.zeros(0, np.uint8), offsets=p, med=z,
-                   after_ptr=p, after_val=z, before_ptr=p, before_val=z)
+                   after_ptr=p, after_val=z, before_ptr=p, before_val=z,
+                   mean=np.zeros(0, np.float64))
 
     def seq(self, i: int) -> str:
         return dna.decode(self.seq_codes[self.offsets[i]:self.offsets[i + 1]])
@@ -484,7 +492,9 @@ class ArrayUnitigs:
         for i in range(self.n):
             g.unitigs.append(Unitig(
                 seq=ascii_buf[offs[i]:offs[i + 1]].decode(),
-                median_abundance=int(self.med[i])))
+                median_abundance=int(self.med[i]),
+                mean_abundance=(float(self.mean[i]) if self.mean is not None
+                                else float(self.med[i]))))
             g.after.append(
                 self.after_val[self.after_ptr[i]:self.after_ptr[i + 1]]
                 .tolist())
@@ -672,6 +682,8 @@ def finalize_unitigs(
     mid = starts + lens // 2
     med = np.where(lens % 2 == 1, sc[mid],
                    (sc[np.maximum(mid - 1, 0)] + sc[mid]) // 2)
+    # mean k-mer abundance (gatb RCTC coverage; see Unitig.mean_abundance)
+    meanf = np.add.reduceat(counts_mem, starts).astype(np.float64) / lens
 
     # ---- solid seed flag per path (contig_assembly.cpp:2082) -------------
     smin = params.solid_kmer_abundance_min
@@ -686,6 +698,7 @@ def finalize_unitigs(
     thi, tlo = ohi[tail_pos[pids]], olo[tail_pos[pids]]  # last kmer
     lens2 = lens[pids]
     med2 = med[pids]
+    mean2 = meanf[pids]
     seed2 = path_seed[pids]
     starts2 = starts[pids]
 
@@ -787,7 +800,8 @@ def finalize_unitigs(
         med=med2[fsel].astype(np.int64),
         after_ptr=after_ptr, after_val=after_val,
         before_ptr=before_ptr, before_val=before_val,
-        n_palindromes=int(pal.sum()))
+        n_palindromes=int(pal.sum()),
+        mean=mean2[fsel])
 
 
 def assemble_unitigs(

@@ -62,10 +62,15 @@ class SimpleGraph:
     @classmethod
     def from_unitig_graph(cls, g: UnitigGraph) -> "SimpleGraph":
         n = len(g.unitigs)
+        # RCTC coverage = unitig MEAN k-mer abundance (gatb-core
+        # Simplifications uses mean, not median).  The in-memory Contiger
+        # output carries the mean; graphs reloaded from a reference-format
+        # FASTA only have km:f: (median) and fall back to it.
         return cls(
             k=g.k,
             seqs=[u.seq for u in g.unitigs],
-            cov=[float(u.median_abundance) for u in g.unitigs],
+            cov=[float(u.mean_abundance) or float(u.median_abundance)
+                 for u in g.unitigs],
             links=[[list(g.after[i]), list(g.before[i])] for i in range(n)],
             alive=[True] * n,
         )

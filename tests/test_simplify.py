@@ -123,6 +123,52 @@ def test_end_to_end_error_reads_produce_clean_contigs(rng):
     assert s["N50"] > 100
 
 
+def test_planted_features_end_to_end(rng):
+    """Structured synthetic genome with a planted SNP bubble, a planted
+    chimeric tip, and clean coverage elsewhere: the full pipeline must pop
+    the minor allele, clip the tip, and return to near-single-contig N50
+    (the Minia hand-off contract, README.md:133-139)."""
+    from test_contiger import build_all
+
+    k = 21
+    genome = random_genome(rng, 3000)
+    reads = reads_from_genome(rng, genome, 1300, 80)  # ~35x clean
+
+    # planted bubble: minor allele (SNP at 1500) at ~5x
+    pos = 1500
+    variant = genome[:pos] + ("A" if genome[pos] != "A" else "C") \
+        + genome[pos + 1:]
+    for s in range(pos - 60, pos + 1, 12):  # 6 reads over the SNP
+        reads.append(variant[s:s + 80])
+
+    # planted tip: 3 chimeric reads diverging into junk after position 800
+    junk = random_genome(rng, 30)
+    for _ in range(3):
+        reads.append(genome[760:800] + junk)
+
+    graph, _ = build_all(reads, k)
+    contigs, stats = simplify.simplify_to_contigs(graph)
+
+    gk = {dna.canonical(genome[i:i + k]) for i in range(len(genome) - k + 1)}
+    vk = {dna.canonical(variant[i:i + k])
+          for i in range(pos - k + 1, pos + 1)} - gk
+    jk_src = genome[760:800] + junk
+    jk = {dna.canonical(jk_src[i:i + k])
+          for i in range(len(jk_src) - k + 1)} - gk
+    ck = set()
+    for c in contigs:
+        for i in range(len(c.seq) - k + 1):
+            ck.add(dna.canonical(c.seq[i:i + k]))
+
+    assert stats["tips"] >= 1
+    assert stats["bubbles"] >= 1
+    assert not (ck & vk), "minor bubble allele survived simplification"
+    assert not (ck & jk), "chimeric tip survived simplification"
+    assert len(gk & ck) / len(gk) > 0.95
+    s = simplify.contig_stats(contigs, genome_size=len(genome))
+    assert s["N50"] > 0.8 * len(genome)
+
+
 def test_fasta_roundtrip(tmp_path, rng):
     from test_contiger import build_all
 
