@@ -548,20 +548,49 @@ class UnitigGraph:
                 f.write(f"\n{u.seq}\n")
 
 
-def _connected_components(nbr: np.ndarray, max_rounds: int = 256) -> np.ndarray:
-    """Min-label components over a dense neighbor matrix nbr[d, n] (self-
-    index = no neighbor).  Min-propagation + two pointer jumps per round;
-    converges in O(log^2 n) rounds."""
+def _connected_components(nbr: np.ndarray) -> np.ndarray:
+    """Component labels over a dense neighbor matrix nbr[d, n] (self-index
+    = no neighbor).
+
+    The unitig link graph contains LONG PATHS (phantom hash-collision
+    branches chop one genome walk into thousands of linked unitigs), so
+    naive min-label propagation needs O(diameter) rounds.  Use compiled
+    linear-time BFS (scipy.sparse.csgraph) with a Shiloach-Vishkin-style
+    hook+compress fallback (O(log n) rounds of scatter-min)."""
     n = nbr.shape[1]
-    lab = np.arange(n, dtype=np.int64)
-    for _ in range(max_rounds):
-        l2 = np.minimum(lab, lab[nbr].min(axis=0)) if nbr.size else lab
-        l2 = l2[l2]
-        l2 = l2[l2]
-        if np.array_equal(l2, lab):
-            return lab
-        lab = l2
-    raise RuntimeError("component labeling did not converge")
+    if n == 0:
+        return np.zeros(0, np.int64)
+    idx = np.broadcast_to(np.arange(n, dtype=np.int64), nbr.shape)
+    mask = nbr != idx
+    u = idx[mask]
+    v = nbr[mask]
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        g = coo_matrix((np.ones(len(u), np.int8), (u, v)), shape=(n, n))
+        _, labels = connected_components(g, directed=False)
+        # canonicalize: component id -> minimum member index (deterministic
+        # regardless of scipy's internal ordering)
+        rep = np.full(labels.max() + 1 if len(labels) else 1, n, np.int64)
+        np.minimum.at(rep, labels, np.arange(n, dtype=np.int64))
+        return rep[labels]
+    except ImportError:  # pragma: no cover
+        parent = np.arange(n, dtype=np.int64)
+        for _ in range(2 * max(int(np.ceil(np.log2(n + 1))), 1) + 4):
+            # hook: roots adopt the minimum parent seen across their edges
+            pu, pv = parent[u], parent[v]
+            np.minimum.at(parent, pu, pv)
+            np.minimum.at(parent, pv, pu)
+            # full path compression
+            while True:
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+            if np.array_equal(parent[u], parent[v]):
+                break
+        return parent
 
 
 def assemble_unitigs_arrays(

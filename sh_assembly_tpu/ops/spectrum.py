@@ -337,6 +337,13 @@ def merge(spec: Spectrum, key_bits: int, drop_singletons: bool = False) -> Spect
     """
     if _pallas_available():
         return _merge_kernel_path(spec, key_bits, drop_singletons)
+    return _merge_xla_path(spec, key_bits, drop_singletons)
+
+
+def _merge_xla_path(spec: Spectrum, key_bits: int,
+                    drop_singletons: bool) -> Spectrum:
+    """XLA fallback merge (also the cross-check path for the TPU
+    bit-identity test, tests/test_tpu_identity.py)."""
     C, BC = spec.capacity, spec.buf_capacity
     main = _packed64(spec)
     buf = jnp.where(
