@@ -122,7 +122,7 @@ def main() -> int:
     # ---- primary: realistic load (flagship-equivalent occupancy) ---------
     qb = 28
     key_bits = qb + 8
-    C, BC = 1 << qb, 1 << 25
+    C, BC = 1 << qb, 1 << 27
     n_fill = int(0.55 * C)  # ~ flagship load factor at the deNoise trigger
     fill_keys = rng.integers(0, 1 << key_bits, size=n_fill, dtype=np.uint64)
     fill_keys = np.unique(fill_keys)

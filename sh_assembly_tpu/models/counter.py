@@ -187,6 +187,10 @@ def build_spectrum(
         # codegen failures (scoped-vmem overflows); 2^n sizes are the
         # well-trodden path
         buf_capacity = 1 << max(4 * windows - 1, (1 << 20) - 1).bit_length()
+        # a larger buffer amortizes the per-merge O(capacity) stream pass
+        # (measured: 90 -> 124M keys/s per merged key going from C/8 to
+        # C/2 at C=2^28); grow toward C/2, capped at 2^27 for HBM headroom
+        buf_capacity = max(buf_capacity, min(capacity // 2, 1 << 27))
     if buf_capacity < 2 * windows:
         raise ValueError(
             f"buf_capacity {buf_capacity} must be >= 2x windows/batch "

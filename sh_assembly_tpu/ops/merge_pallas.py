@@ -279,211 +279,226 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
         al = jnp.where(stale_i, sent, al)
         bh = jnp.where(stale_j, sent, bh)
         bl = jnp.where(stale_j, sent, bl)
-        # source tags: buf=0, main=1 -> buf-first on exact ties
-        at = jnp.ones((Lr, LANES), U32)
-        bt = jnp.zeros((Lr, LANES), U32)
+        # Whole-block skip: once both shifted windows open on SENTINEL
+        # (streams exhausted up to padding) and the carry is spent, the
+        # block can only shuffle sentinels -- advance the consumed total
+        # and do nothing.  This makes merge cost scale with LIVE elements,
+        # not capacity (a 55%-full store skips ~45% of its blocks).
+        c_sent0 = smem[7]
+        blk_skip = (ah[0, 0] == sent) & (al[0, 0] == sent) & \
+            (bh[0, 0] == sent) & (bl[0, 0] == sent) & (c_sent0 == 1)
 
-        # reverse the buf window (flat) to form a bitonic sequence
-        rh = _reverse_flat(bh)
-        rl = _reverse_flat(bl)
-        rt = bt  # constant plane; reverse is a no-op
-        ch = jnp.concatenate([ah, rh], axis=0)
-        cl = jnp.concatenate([al, rl], axis=0)
-        ct = jnp.concatenate([at, rt], axis=0)
-        ch, cl, ct = _bitonic_merge(ch, cl, ct, 2 * L)
+        @pl.when(blk_skip)
+        def _():
+            smem[1] = J + jnp.int32(T)
 
-        # consume the first T merged elements
-        kh = ch[:Tr]
-        kl = cl[:Tr]
-        kt = ct[:Tr]
-        # (main-consumption count folded into the scan below — jnp.sum's
-        # lowering builds int64 intermediates under x64, which Mosaic
-        # cannot lower)
+        @pl.when(~blk_skip)
+        def _():
+            # source tags: buf=0, main=1 -> buf-first on exact ties
+            at = jnp.ones((Lr, LANES), U32)
+            bt = jnp.zeros((Lr, LANES), U32)
 
-        is_sent = (kh == sent) & (kl == sent)
-        cnt = jnp.where(is_sent, jnp.uint32(0), kl & cmask)
-        trv = jnp.where(is_sent, jnp.uint32(0), (kl & trav_bit) >> cbits)
-        klo_key = kl & keylo_mask
+            # reverse the buf window (flat) to form a bitonic sequence
+            rh = _reverse_flat(bh)
+            rl = _reverse_flat(bl)
+            rt = bt  # constant plane; reverse is a no-op
+            ch = jnp.concatenate([ah, rh], axis=0)
+            cl = jnp.concatenate([al, rl], axis=0)
+            ct = jnp.concatenate([at, rt], axis=0)
+            ch, cl, ct = _bitonic_merge(ch, cl, ct, 2 * L)
 
-        # run boundaries (key change or sent-flag change vs predecessor)
-        ph = _shift_down(kh, 1, FULL)
-        pl_key = _shift_down(klo_key, 1, np.uint32(keylo_mask))
-        ps = _shift_down(is_sent.astype(U32), 1, np.uint32(1))
-        idxT = _flat_idx(Tr)
-        same = (kh == ph) & (klo_key == pl_key) & (is_sent.astype(U32) == ps)
-        # position 0 compares against the carried run
-        c_hi = smem[3].astype(U32)
-        c_lok = smem[4].astype(U32)
-        c_cnt = smem[5].astype(U32)
-        c_trv = smem[6].astype(U32)
-        c_sent = smem[7].astype(U32)
-        same0 = (kh == c_hi) & (klo_key == c_lok) & \
-            (is_sent.astype(U32) == c_sent)
-        # (bool-valued select lowers through an unsupported i8->i1 trunc in
-        # Mosaic; use logical ops instead of jnp.where)
-        at0 = idxT == 0
-        same = (at0 & same0) | (~at0 & same)
-        first = ~same
+            # consume the first T merged elements
+            kh = ch[:Tr]
+            kl = cl[:Tr]
+            kt = ct[:Tr]
 
-        # fused segmented scans: run totals (sum), traveled (or),
-        # run index (plain cumsum of `first`)
-        tot = cnt
-        sor = trv
-        rid = first.astype(U32)
-        mcnt = (kt == 1).astype(U32)  # plain cumsum -> main consumption
-        flag = first
-        d = 1
-        while d < T:
-            valid = idxT >= d
-            f2 = _shift_down(flag.astype(U32), d, np.uint32(1)) == 1
-            t2 = _shift_down(tot, d, np.uint32(0))
-            s2 = _shift_down(sor, d, np.uint32(0))
-            r2 = _shift_down(rid, d, np.uint32(0))
-            m2 = _shift_down(mcnt, d, np.uint32(0))
-            use = valid & ~flag
-            tot = jnp.where(use, tot + t2, tot)
-            sor = jnp.where(use, sor | s2, sor)
-            rid = jnp.where(valid, rid + r2, rid)
-            mcnt = jnp.where(valid, mcnt + m2, mcnt)
-            flag = flag | (valid & f2)
-            d *= 2
-        i_cons = mcnt[Tr - 1, LANES - 1].astype(jnp.int32)
-        j_cons = jnp.int32(T) - i_cons
-        # fold the carried run into run 0 (only exists when same0 held)
-        in_run0 = rid == 0
-        tot = jnp.where(in_run0, _minu(tot + c_cnt, jnp.uint32(cap)),
-                        _minu(tot, jnp.uint32(cap)))
-        sor = jnp.where(in_run0, sor | c_trv, sor)
+            is_sent = (kh == sent) & (kl == sent)
+            cnt = jnp.where(is_sent, jnp.uint32(0), kl & cmask)
+            trv = jnp.where(is_sent, jnp.uint32(0), (kl & trav_bit) >> cbits)
+            klo_key = kl & keylo_mask
 
-        # emission: last element of each run, except the trailing open run
-        nxt_first = _shift_up(first.astype(U32), 1, np.uint32(0)) == 1
-        keep = nxt_first & ~is_sent
-        if drop_singletons:
-            keep = keep & (tot >= 2)
-            # count the dropped runs (each removed key had exactly one
-            # occurrence) so callers can keep reference nelts bookkeeping
-            # (qf_clean_singleton_with_lock decrements nelts by
-            # removed_elts, CQF_mt.h:1037-1038)
-            dr = (nxt_first & ~is_sent & (tot < 2)).astype(U32)
+            # run boundaries (key change or sent-flag change vs predecessor)
+            ph = _shift_down(kh, 1, FULL)
+            pl_key = _shift_down(klo_key, 1, np.uint32(keylo_mask))
+            ps = _shift_down(is_sent.astype(U32), 1, np.uint32(1))
+            idxT = _flat_idx(Tr)
+            same = (kh == ph) & (klo_key == pl_key) & (is_sent.astype(U32) == ps)
+            # position 0 compares against the carried run
+            c_hi = smem[3].astype(U32)
+            c_lok = smem[4].astype(U32)
+            c_cnt = smem[5].astype(U32)
+            c_trv = smem[6].astype(U32)
+            c_sent = smem[7].astype(U32)
+            same0 = (kh == c_hi) & (klo_key == c_lok) & \
+                (is_sent.astype(U32) == c_sent)
+            # (bool-valued select lowers through an unsupported i8->i1 trunc in
+            # Mosaic; use logical ops instead of jnp.where)
+            at0 = idxT == 0
+            same = (at0 & same0) | (~at0 & same)
+            first = ~same
+
+            # fused segmented scans: run totals (sum), traveled (or).  The
+            # stop flag doubles as the prefix-OR of `first` after the loop.
+            tot = cnt
+            sor = trv
+            flag = first
             d = 1
             while d < T:
                 valid = idxT >= d
-                dr = jnp.where(valid, dr + _shift_down(dr, d, np.uint32(0)),
-                               dr)
+                f2 = _shift_down(flag.astype(U32), d, np.uint32(1)) == 1
+                t2 = _shift_down(tot, d, np.uint32(0))
+                s2 = _shift_down(sor, d, np.uint32(0))
+                use = valid & ~flag
+                tot = jnp.where(use, tot + t2, tot)
+                sor = jnp.where(use, sor | s2, sor)
+                flag = flag | (valid & f2)
                 d *= 2
-            n_drop_blk = dr[Tr - 1, LANES - 1].astype(jnp.int32)
+            # main-side consumption: tree-fold reduction (was a full scan
+            # plane); jnp.sum lowers via int64 under x64 -> hand-rolled fold
+            red = jnp.where(kt == jnp.uint32(1), jnp.uint32(1),
+                            jnp.uint32(0))
+            dd = 1
+            while dd < T:  # red[i] becomes sum over x[i .. i+2^k-1]
+                red = red + _shift_up(red, dd, np.uint32(0))
+                dd *= 2
+            i_cons = red[0, 0].astype(jnp.int32)
+            j_cons = jnp.int32(T) - i_cons
+            # fold the carried run into run 0 (only exists when same0 held);
+            # in run 0 <=> no run boundary at or before this position
+            in_run0 = ~flag
+            tot = jnp.where(in_run0, _minu(tot + c_cnt, jnp.uint32(cap)),
+                            _minu(tot, jnp.uint32(cap)))
+            sor = jnp.where(in_run0, sor | c_trv, sor)
 
-        # carry-out = the open run at T-1 (aggregated), via static reads
-        last_r = Tr - 1
-        co_hi = kh[last_r, LANES - 1]
-        co_lok = klo_key[last_r, LANES - 1]
-        co_cnt = tot[last_r, LANES - 1]
-        co_trv = sor[last_r, LANES - 1]
-        co_sent = is_sent.astype(U32)[last_r, LANES - 1]
+            # emission: last element of each run, except the trailing open run
+            nxt_first = _shift_up(first.astype(U32), 1, np.uint32(0)) == 1
+            keep = nxt_first & ~is_sent
+            if drop_singletons:
+                keep = keep & (tot >= 2)
+                # count the dropped runs (each removed key had exactly one
+                # occurrence) so callers can keep reference nelts bookkeeping
+                # (qf_clean_singleton_with_lock decrements nelts by
+                # removed_elts, CQF_mt.h:1037-1038)
+                dr = (nxt_first & ~is_sent & (tot < 2)).astype(U32)
+                d = 1
+                while d < T:
+                    valid = idxT >= d
+                    dr = jnp.where(valid, dr + _shift_down(dr, d, np.uint32(0)),
+                                   dr)
+                    d *= 2
+                n_drop_blk = dr[Tr - 1, LANES - 1].astype(jnp.int32)
 
-        # disconnected carry-in must be emitted as its own entry
-        # (bool scalars can't be extracted from vectors in Mosaic — cast)
-        first0 = first.astype(U32)[0, 0] == 1
-        demit = first0 & (c_sent == 0) & \
-            ((c_cnt >= 2) if drop_singletons else (c_cnt >= 1))
-        if drop_singletons:
-            drop_carry = (first0 & (c_sent == 0) & (c_cnt < 2)) \
-                .astype(jnp.int32)
-            new_dropped = smem[9] + n_drop_blk + drop_carry
-            smem[9] = new_dropped
-        else:
-            new_dropped = jnp.int32(0)
+            # carry-out = the open run at T-1 (aggregated), via static reads
+            last_r = Tr - 1
+            co_hi = kh[last_r, LANES - 1]
+            co_lok = klo_key[last_r, LANES - 1]
+            co_cnt = tot[last_r, LANES - 1]
+            co_trv = sor[last_r, LANES - 1]
+            co_sent = is_sent.astype(U32)[last_r, LANES - 1]
 
-        # pack emitted entries
-        eh = jnp.where(keep, kh, sent)
-        el = jnp.where(
-            keep,
-            klo_key | (sor << cbits) | _minu(tot, jnp.uint32(cap)),
-            sent)
+            # disconnected carry-in must be emitted as its own entry
+            # (bool scalars can't be extracted from vectors in Mosaic — cast)
+            first0 = first.astype(U32)[0, 0] == 1
+            demit = first0 & (c_sent == 0) & \
+                ((c_cnt >= 2) if drop_singletons else (c_cnt >= 1))
+            if drop_singletons:
+                drop_carry = (first0 & (c_sent == 0) & (c_cnt < 2)) \
+                    .astype(jnp.int32)
+                new_dropped = smem[9] + n_drop_blk + drop_carry
+                smem[9] = new_dropped
+            else:
+                new_dropped = jnp.int32(0)
 
-        # stable compaction: rank among keeps, LSB-first log shifts
-        rnk = keep.astype(U32)
-        d = 1
-        while d < T:
-            valid = idxT >= d
-            r2 = _shift_down(rnk, d, np.uint32(0))
-            rnk = jnp.where(valid, rnk + r2, rnk)
-            d *= 2
-        n_emit = rnk[last_r, LANES - 1].astype(jnp.int32)
-        move = jnp.where(keep, idxT.astype(U32) - (rnk - 1), jnp.uint32(0))
-        alive = keep
-        b = 0
-        while (1 << b) < T:
-            dd = 1 << b
-            mb = ((move >> b) & 1) == 1
-            src_h = _shift_up(eh, dd, FULL)
-            src_l = _shift_up(el, dd, FULL)
-            src_m = _shift_up(move, dd, np.uint32(0))
-            src_a = _shift_up((alive & mb).astype(U32), dd, np.uint32(0)) == 1
-            vac = alive & mb
-            eh = jnp.where(src_a, src_h, jnp.where(vac, sent, eh))
-            el = jnp.where(src_a, src_l, jnp.where(vac, sent, el))
-            move = jnp.where(src_a, src_m, jnp.where(vac, jnp.uint32(0), move))
-            alive = src_a | (alive & ~vac)
-            b += 1
+            # pack emitted entries
+            eh = jnp.where(keep, kh, sent)
+            el = jnp.where(
+                keep,
+                klo_key | (sor << cbits) | _minu(tot, jnp.uint32(cap)),
+                sent)
 
-        # prepend the disconnected carry (it precedes everything in order)
-        eh1 = _shift_down(eh, 1, FULL)
-        el1 = _shift_down(el, 1, FULL)
-        c_packed_l = c_lok | (c_trv << cbits) | _minu(c_cnt, jnp.uint32(cap))
-        use_d = demit
-        zero0 = idxT == 0
-        eh = jnp.where(use_d, jnp.where(zero0, c_hi, eh1), eh)
-        el = jnp.where(use_d, jnp.where(zero0, c_packed_l, el1), el)
-        n_emit = n_emit + use_d.astype(jnp.int32)
+            # stable compaction: rank among keeps, LSB-first log shifts
+            rnk = keep.astype(U32)
+            d = 1
+            while d < T:
+                valid = idxT >= d
+                r2 = _shift_down(rnk, d, np.uint32(0))
+                rnk = jnp.where(valid, rnk + r2, rnk)
+                d *= 2
+            n_emit = rnk[last_r, LANES - 1].astype(jnp.int32)
+            move = jnp.where(keep, idxT.astype(U32) - (rnk - 1), jnp.uint32(0))
+            alive = keep
+            b = 0
+            while (1 << b) < T:
+                dd = 1 << b
+                mb = ((move >> b) & 1) == 1
+                src_h = _shift_up(eh, dd, FULL)
+                src_l = _shift_up(el, dd, FULL)
+                src_m = _shift_up(move, dd, np.uint32(0))
+                src_a = _shift_up((alive & mb).astype(U32), dd, np.uint32(0)) == 1
+                vac = alive & mb
+                eh = jnp.where(src_a, src_h, jnp.where(vac, sent, eh))
+                el = jnp.where(src_a, src_l, jnp.where(vac, sent, el))
+                move = jnp.where(src_a, src_m, jnp.where(vac, jnp.uint32(0), move))
+                alive = src_a | (alive & ~vac)
+                b += 1
 
-        # stage the output window: [prev tail | emitted], rolled to the
-        # unaligned output offset
-        out0 = (OUT_ABS // A32) * A32
-        frac_out = OUT_ABS - out0
-        padh = jnp.full((Ar, LANES), sent, U32)
-        sh = jnp.concatenate([eh, padh], axis=0)
-        sl = jnp.concatenate([el, padh], axis=0)
-        sh, sl = _dyn_roll_down((sh, sl), frac_out, roll_bits, FULL)
-        idxW = _flat_idx(Wr)
-        keep_prev = idxW < frac_out
-        th = jnp.concatenate(
-            [tail_h[:, :], jnp.full((Wr - Ar, LANES), sent, U32)], axis=0)
-        tl = jnp.concatenate(
-            [tail_l[:, :], jnp.full((Wr - Ar, LANES), sent, U32)], axis=0)
-        woh[:, :] = jnp.where(keep_prev, th, sh)
-        wol[:, :] = jnp.where(keep_prev, tl, sl)
+            # prepend the disconnected carry (it precedes everything in order)
+            eh1 = _shift_down(eh, 1, FULL)
+            el1 = _shift_down(el, 1, FULL)
+            c_packed_l = c_lok | (c_trv << cbits) | _minu(c_cnt, jnp.uint32(cap))
+            use_d = demit
+            zero0 = idxT == 0
+            eh = jnp.where(use_d, jnp.where(zero0, c_hi, eh1), eh)
+            el = jnp.where(use_d, jnp.where(zero0, c_packed_l, el1), el)
+            n_emit = n_emit + use_d.astype(jnp.int32)
 
-        cp_o_h = pltpu.make_async_copy(
-            woh, oh_ref.at[pl.ds(out0 // LN32, Wr)], sem_out.at[jnp.int32(0)])
-        cp_o_l = pltpu.make_async_copy(
-            wol, ol_ref.at[pl.ds(out0 // LN32, Wr)], sem_out.at[jnp.int32(1)])
-        cp_o_h.start(); cp_o_l.start()
+            # stage the output window: [prev tail | emitted], rolled to the
+            # unaligned output offset
+            out0 = (OUT_ABS // A32) * A32
+            frac_out = OUT_ABS - out0
+            padh = jnp.full((Ar, LANES), sent, U32)
+            sh = jnp.concatenate([eh, padh], axis=0)
+            sl = jnp.concatenate([el, padh], axis=0)
+            sh, sl = _dyn_roll_down((sh, sl), frac_out, roll_bits, FULL)
+            idxW = _flat_idx(Wr)
+            keep_prev = idxW < frac_out
+            th = jnp.concatenate(
+                [tail_h[:, :], jnp.full((Wr - Ar, LANES), sent, U32)], axis=0)
+            tl = jnp.concatenate(
+                [tail_l[:, :], jnp.full((Wr - Ar, LANES), sent, U32)], axis=0)
+            woh[:, :] = jnp.where(keep_prev, th, sh)
+            wol[:, :] = jnp.where(keep_prev, tl, sl)
 
-        new_out_abs = OUT_ABS + n_emit
-        new_out0 = (new_out_abs // A32) * A32
-        # preserve the tail (last written A-block) for the next iteration
-        roff = (new_out0 - out0) // LN32
-        cp_o_h.wait(); cp_o_l.wait()
-        tail_h[:, :] = woh[pl.ds(roff, Ar), :]
-        tail_l[:, :] = wol[pl.ds(roff, Ar), :]
+            cp_o_h = pltpu.make_async_copy(
+                woh, oh_ref.at[pl.ds(out0 // LN32, Wr)], sem_out.at[jnp.int32(0)])
+            cp_o_l = pltpu.make_async_copy(
+                wol, ol_ref.at[pl.ds(out0 // LN32, Wr)], sem_out.at[jnp.int32(1)])
+            cp_o_h.start(); cp_o_l.start()
 
-        smem[0] = I + i_cons
-        smem[1] = J + j_cons
-        smem[2] = new_out_abs
-        smem[3] = co_hi.astype(jnp.int32)
-        smem[4] = co_lok.astype(jnp.int32)
-        smem[5] = co_cnt.astype(jnp.int32)
-        smem[6] = co_trv.astype(jnp.int32)
-        smem[7] = co_sent.astype(jnp.int32)
+            new_out_abs = OUT_ABS + n_emit
+            new_out0 = (new_out_abs // A32) * A32
+            # preserve the tail (last written A-block) for the next iteration
+            roff = (new_out0 - out0) // LN32
+            cp_o_h.wait(); cp_o_l.wait()
+            tail_h[:, :] = woh[pl.ds(roff, Ar), :]
+            tail_l[:, :] = wol[pl.ds(roff, Ar), :]
+
+            smem[0] = I + i_cons
+            smem[1] = J + j_cons
+            smem[2] = new_out_abs
+            smem[3] = co_hi.astype(jnp.int32)
+            smem[4] = co_lok.astype(jnp.int32)
+            smem[5] = co_cnt.astype(jnp.int32)
+            smem[6] = co_trv.astype(jnp.int32)
+            smem[7] = co_sent.astype(jnp.int32)
 
         @pl.when(g == G - 1)
         def _():
             r8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
             c8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
             vmeta[:, :] = jnp.where(
-                (r8 == 0) & (c8 == 0), new_out_abs,
-                jnp.where((r8 == 0) & (c8 == 1), new_dropped, jnp.int32(0)))
+                (r8 == 0) & (c8 == 0), smem[2],
+                jnp.where((r8 == 0) & (c8 == 1), smem[9], jnp.int32(0)))
             cp_meta = pltpu.make_async_copy(vmeta, meta_ref, sem_meta)
             cp_meta.start()
             cp_meta.wait()
