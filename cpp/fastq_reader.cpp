@@ -134,6 +134,40 @@ class Reader {
 
   bool failed() const { return failed_.load(); }
 
+  // Packed variant: fills packed u8[B, L/4] (2-bit codes, little-endian
+  // within the byte) + nmask u8[B, L/8] (bit j%8 set iff code >= 4),
+  // exactly the ops/packio.pack_np layout, so batches cross the host ->
+  // device link at 2.25 bits/base without a Python packing pass.
+  // L must be a multiple of 8.
+  int next_batch_packed(uint8_t* packed, uint8_t* nmask, int32_t* lengths,
+                        int B, int L) {
+    scratch_.assign((size_t)B * L, CODE_PAD);
+    int rows = next_batch(scratch_.data(), lengths, B, L);
+    const int Lq = L / 4, Lo = L / 8;
+    memset(packed, 0, (size_t)B * Lq);
+    memset(nmask, 0, (size_t)B * Lo);
+    for (int r = 0; r < rows; r++) {
+      const uint8_t* src = scratch_.data() + (size_t)r * L;
+      uint8_t* pd = packed + (size_t)r * Lq;
+      uint8_t* nm = nmask + (size_t)r * Lo;
+      for (int i = 0; i < Lq; i++) {
+        const uint8_t c0 = src[4 * i], c1 = src[4 * i + 1];
+        const uint8_t c2 = src[4 * i + 2], c3 = src[4 * i + 3];
+        pd[i] = (uint8_t)((c0 & 3) | ((c1 & 3) << 2) | ((c2 & 3) << 4) |
+                          ((c3 & 3) << 6));
+      }
+      for (int j = 0; j < L; j++) {
+        if (src[j] >= 4) nm[j >> 3] |= (uint8_t)(1u << (j & 7));
+      }
+    }
+    // pad rows: all-N mask (device unpack turns them into PAD codes)
+    for (int r = rows; r < B; r++) {
+      memset(nmask + (size_t)r * Lo, 0xFF, Lo);
+      lengths[r] = 0;
+    }
+    return rows;
+  }
+
  private:
   void worker() {
     std::vector<char> buf(CHUNK + (1u << 16));
@@ -275,6 +309,7 @@ class Reader {
   size_t queued_bytes_ = 0;
   int active_ = 0;
   bool stop_ = false;
+  std::vector<uint8_t> scratch_;
 };
 
 }  // namespace
@@ -289,6 +324,12 @@ void* shr_open(const char** paths, int n_paths, int k, int n_threads) {
 
 int shr_next_batch(void* h, uint8_t* codes, int32_t* lengths, int B, int L) {
   return static_cast<Reader*>(h)->next_batch(codes, lengths, B, L);
+}
+
+int shr_next_batch_packed(void* h, uint8_t* packed, uint8_t* nmask,
+                          int32_t* lengths, int B, int L) {
+  return static_cast<Reader*>(h)->next_batch_packed(packed, nmask, lengths,
+                                                    B, L);
 }
 
 int shr_failed(void* h) { return static_cast<Reader*>(h)->failed() ? 1 : 0; }

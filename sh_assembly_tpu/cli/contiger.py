@@ -68,10 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     batch_cfg = cfg.BatchConfig()
     from ..io import native
 
+    Lp = (batch_cfg.max_read_len + 7) // 8 * 8
+
     def stream():
-        return native.batches_from_files(
-            files, args.k, args.format, batch_cfg.reads_per_batch,
-            batch_cfg.max_read_len)
+        return native.packed_batches_from_files(
+            files, args.k, args.format, batch_cfg.reads_per_batch, Lp)
 
     log("[Unitig] find unitigs")
     arrays = contiger.assemble_unitigs_arrays(spec, stream(), params,

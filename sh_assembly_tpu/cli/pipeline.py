@@ -65,9 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     log("[2/3] building unitig graph")
     params = cfg.ContigerParams(k=args.k, kmer_abundance_min=args.abundance_min)
     batch_cfg = cfg.BatchConfig()
-    stream = native.batches_from_files(
+    stream = native.packed_batches_from_files(
         files, args.k, args.format, batch_cfg.reads_per_batch,
-        batch_cfg.max_read_len)
+        (batch_cfg.max_read_len + 7) // 8 * 8)
     graph = contiger.assemble_unitigs(spec, stream, params,
                                       key_bits=sizing.hb)
     graph.write_fasta(args.unitigs)

@@ -126,6 +126,22 @@ class Batch:
     n_rows: int  # rows actually used
 
 
+@dataclass
+class PackedBatch:
+    """A batch already in the device transport format (ops/packio):
+    2-bit packed codes + N/pad bitmask.  Produced by the native reader's
+    packed path so no Python packing pass touches the bytes."""
+
+    packed: np.ndarray  # uint8[B, L/4]
+    nmask: np.ndarray  # uint8[B, L/8]
+    lengths: np.ndarray  # int32[B]
+    n_rows: int
+
+    @property
+    def row_len(self) -> int:
+        return self.packed.shape[-1] * 4
+
+
 class Batcher:
     """Packs (sub-)read segments into fixed-shape device batches."""
 

@@ -54,6 +54,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.shr_next_batch_packed.restype = ctypes.c_int
+    lib.shr_next_batch_packed.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int,
+    ]
     lib.shr_failed.restype = ctypes.c_int
     lib.shr_failed.argtypes = [ctypes.c_void_p]
     lib.shr_close.restype = None
@@ -102,5 +110,53 @@ def batches_from_files(
                     raise IOError("native reader failed (bad file?)")
                 break
             yield pyfastq.Batch(codes, lengths, n)
+    finally:
+        lib.shr_close(h)
+
+
+def packed_batches_from_files(
+    paths: list[str],
+    k: int,
+    fmode: str = "auto",
+    reads_per_batch: int = 16384,
+    row_len: int = 160,
+    n_threads: int = 4,
+):
+    """Batch stream in device transport format (fastq.PackedBatch): the
+    native reader encodes + N-segments + 2-bit packs in C++; the Python
+    fallback packs with packio.pack_np.  row_len must be a multiple of 8.
+    """
+    assert row_len % 8 == 0, "row_len must be a multiple of 8"
+    lib = _load()
+    B, L = reads_per_batch, row_len
+    if lib is None or fmode == "b" or any(p.endswith(".bz2") for p in paths):
+        from ..ops import packio
+
+        for b in pyfastq.batches_from_files(paths, k, fmode, B, L):
+            p, m = packio.pack_np(b.codes)
+            yield pyfastq.PackedBatch(p, m, b.lengths, b.n_rows)
+        return
+
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    h = lib.shr_open(arr, len(paths), k, n_threads)
+    if not h:
+        raise RuntimeError("shr_open failed")
+    try:
+        while True:
+            packed = np.zeros((B, L // 4), dtype=np.uint8)
+            nmask = np.zeros((B, L // 8), dtype=np.uint8)
+            lengths = np.zeros(B, dtype=np.int32)
+            n = lib.shr_next_batch_packed(
+                h,
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                B, L,
+            )
+            if n <= 0:
+                if lib.shr_failed(h):
+                    raise IOError("native reader failed (bad file?)")
+                break
+            yield pyfastq.PackedBatch(packed, nmask, lengths, n)
     finally:
         lib.shr_close(h)

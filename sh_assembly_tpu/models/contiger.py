@@ -158,18 +158,23 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
         rows = 0
 
     for b in batches:
-        codes = b.codes
-        L = codes.shape[1]
-        Lp_b = (L + 7) // 8 * 8
+        if isinstance(b, fastq.PackedBatch):
+            Lp_b = b.row_len
+            p_, m_ = b.packed, b.nmask
+        else:
+            codes = b.codes
+            L = codes.shape[1]
+            Lp_b = (L + 7) // 8 * 8
+            if Lp_b != L:
+                codes = np.pad(codes, ((0, 0), (0, Lp_b - L)),
+                               constant_values=5)
+            p_, m_ = packio.pack_np(codes)
         if Lp is None:
             Lp = Lp_b
         if Lp_b != Lp:
             raise ValueError("mixed batch read lengths")
-        if Lp_b != L:
-            codes = np.pad(codes, ((0, 0), (0, Lp_b - L)),
-                           constant_values=5)
         W = Lp - k + 1
-        batch_rows = codes.shape[0]
+        batch_rows = p_.shape[0]
         if batch_rows * W > max_rows_total:
             raise ValueError(
                 f"one batch's {batch_rows * W} windows exceed the query_join "
@@ -178,7 +183,6 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
         # query_join budget (appending first could exceed it by one batch)
         if rows and (rows + batch_rows) * W > max_rows_total:
             flush()
-        p_, m_ = packio.pack_np(codes)
         stack_p.append(p_)
         stack_m.append(m_)
         stack_l.append(b.lengths)

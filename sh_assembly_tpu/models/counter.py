@@ -223,11 +223,18 @@ def build_spectrum(
 
     pad_cols = Lp - L
     for batch in batches:
-        codes = batch.codes
-        if pad_cols:
-            codes = np.pad(codes, ((0, 0), (0, pad_cols)),
-                           constant_values=5)
-        p, m = packio.pack_np(codes)
+        if isinstance(batch, fastq.PackedBatch):
+            # already in transport format (native reader packed path)
+            if batch.row_len != Lp:
+                raise ValueError(
+                    f"packed row length {batch.row_len} != expected {Lp}")
+            p, m = batch.packed, batch.nmask
+        else:
+            codes = batch.codes
+            if pad_cols:
+                codes = np.pad(codes, ((0, 0), (0, pad_cols)),
+                               constant_values=5)
+            p, m = packio.pack_np(codes)
         stack_packed[fill] = p
         stack_nmask[fill] = m
         stack_lengths[fill] = batch.lengths
@@ -287,7 +294,8 @@ def build_spectrum_from_files(
     from ..io import native
 
     batch_cfg = batch_cfg or default_batch_cfg(sizing)
-    stream = native.batches_from_files(
-        files, sizing.k, fmode, batch_cfg.reads_per_batch, batch_cfg.max_read_len
+    Lp = (batch_cfg.max_read_len + 7) // 8 * 8
+    stream = native.packed_batches_from_files(
+        files, sizing.k, fmode, batch_cfg.reads_per_batch, Lp
     )
     return build_spectrum(stream, sizing, batch_cfg=batch_cfg, **kw)

@@ -89,3 +89,58 @@ def test_native_multifile_and_batchfill(tmp_path, rng):
 def test_native_missing_file(tmp_path):
     with pytest.raises(IOError):
         list(native.batches_from_files([str(tmp_path / "nope.fastq")], 21))
+
+
+def test_packed_path_matches_codes_path(tmp_path, rng):
+    """The native packed stream must reproduce the exact window multiset of
+    the codes stream (unpack(pack(x)) == x, and identical counting)."""
+    from oracle import random_reads, oracle_count
+    from sh_assembly_tpu.ops import packio
+    import jax.numpy as jnp
+
+    k = 21
+    reads = random_reads(rng, 200, 100, n_rate=0.02)
+    reads += [random_reads(rng, 1, 500)[0]]
+    path = str(tmp_path / "r.fastq")
+    write_fastq(path, reads)
+
+    # the transport collapses N(4) and PAD(5) into one mask bit (both hash
+    # with seed 0); normalize before comparing
+    rows_codes = []
+    for b in native.batches_from_files([path], k, "auto", 64, 96):
+        c = np.where(b.codes >= 4, 5, b.codes).astype(np.uint8)
+        for i in range(b.n_rows):
+            rows_codes.append(bytes(c[i, : b.lengths[i]]))
+    rows_packed = []
+    for b in native.packed_batches_from_files([path], k, "auto", 64, 96):
+        codes = np.asarray(packio.unpack(
+            jnp.asarray(b.packed), jnp.asarray(b.nmask), b.row_len))
+        for i in range(b.n_rows):
+            rows_packed.append(bytes(codes[i, : b.lengths[i]]))
+    assert sorted(rows_codes) == sorted(rows_packed)
+
+
+def test_packed_path_counting_parity(tmp_path, rng):
+    from oracle import random_reads, oracle_count
+    from sh_assembly_tpu import config as cfg
+    from sh_assembly_tpu.models import counter
+    from sh_assembly_tpu.ops import spectrum as sp
+
+    k, qb = 21, 20
+    reads = random_reads(rng, 150, 100, n_rate=0.02)
+    path = str(tmp_path / "r.fastq")
+    write_fastq(path, reads)
+    with open(str(tmp_path / "files.txt"), "w") as f:
+        f.write(path + "\n")
+
+    sizing = cfg.CounterSizing(
+        k=k, qb=qb, hb=qb + 8, num_true_kmers=0, num_false_kmers=0,
+        n_true_kmers=1, num_deNoise=0, ndistinct_for_deNoise=1 << 62,
+        end_deNoise=False, fr=0.0)
+    bc = cfg.BatchConfig(reads_per_batch=64, max_read_len=104)
+    spec, _ = counter.build_spectrum_from_files(
+        [path], sizing, batch_cfg=bc, capacity=1 << 14,
+        buf_capacity=1 << 14)
+    keys, counts, _ = sp.to_host(spec, qb + 8)
+    assert dict(zip(keys.tolist(), counts.tolist())) == \
+        oracle_count(reads, k, qb + 8)
