@@ -88,7 +88,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from sh_assembly_tpu.models import counter
-    from sh_assembly_tpu.ops import packio, spectrum as sp
+    from sh_assembly_tpu.ops import spectrum as sp
 
     baseline, baseline_src = measure_cpu_baseline()
 
@@ -153,34 +153,31 @@ def main() -> int:
     log(f"# low-load(qb=24): {len(supers2)*S*windows/dt2/1e6:.1f}M kmers/s")
     del spec2, supers2
 
-    # ---- feed-included (host 2-bit pack + H2D inside the loop) ------------
-    host_stacks = make_supers(2)
-    spec3 = sp.make(1 << qb2, BC)
-    rl = jnp.asarray(0, jnp.int32)
-    Lp = L  # L % 8 == 0
-    hl = np.full((S, B), L, np.int32)
+    # ---- feed-included: the REAL production path (FASTQ on disk -> native
+    # C++ decode/pack -> H2D -> fused device counting) ----------------------
+    try:
+        from sh_assembly_tpu import config as cfgmod
 
-    def feed_once(spec, rl, stacks):
-        for st in stacks:
-            pk = np.empty((S, B, Lp // 4), np.uint8)
-            nm = np.empty((S, B, Lp // 8), np.uint8)
-            for s in range(S):
-                pk[s], nm[s] = packio.pack_np(st[s])
-            spec, rl, _ = counter.count_scan_packed(
-                spec, rl, jnp.asarray(pk), jnp.asarray(nm),
-                jnp.asarray(hl), threshold, k, kb2, Lp)
-        spec = counter._merge_keep(spec, kb2)
-        jax.block_until_ready(spec.hi)
-        return spec, rl
-
-    spec3, rl = feed_once(spec3, rl, host_stacks[:1])
-    t0 = time.time()
-    spec3, rl = feed_once(spec3, rl, host_stacks)
-    dt3 = time.time() - t0
-    log(f"# feed-included(qb=24): "
-        f"{len(host_stacks)*S*windows/dt3/1e6:.1f}M kmers/s "
-        f"(host pack + H2D + device)")
-    del spec3, host_stacks
+        fq = os.path.join(tempfile.gettempdir(), "bench_ref.fastq")
+        if not os.path.exists(fq):
+            raise RuntimeError("baseline FASTQ missing")
+        files4 = [fq] * 4  # ~32.4M kmers at k=47
+        kmers4 = 4 * 150_000 * (100 - k + 1)
+        sz = cfgmod.CounterSizing(
+            k=k, qb=qb2, hb=kb2, num_true_kmers=0, num_false_kmers=0,
+            n_true_kmers=1, num_deNoise=0, ndistinct_for_deNoise=1 << 62,
+            end_deNoise=False, fr=0.0)
+        bcfg = cfgmod.BatchConfig(reads_per_batch=8192, max_read_len=104)
+        counter.build_spectrum_from_files(  # warmup: compiles this geometry
+            [fq], sz, batch_cfg=bcfg, capacity=1 << qb2, buf_capacity=BC)
+        t0 = time.time()
+        _, st3 = counter.build_spectrum_from_files(
+            files4, sz, batch_cfg=bcfg, capacity=1 << qb2, buf_capacity=BC)
+        dt3 = time.time() - t0
+        log(f"# feed-included(qb=24): {kmers4/dt3/1e6:.1f}M kmers/s "
+            f"(disk + C++ decode/pack + H2D + device; {dt3:.2f}s)")
+    except Exception as e:
+        log(f"# feed-included skipped: {e!r}")
 
     # ---- merge roofline ----------------------------------------------------
     try:
