@@ -16,6 +16,7 @@ from ..formats import cqf_ser
 from ..io import fastq
 from ..models import contiger
 from ..ops import spectrum as sp
+from ..utils import profiling
 from ..utils.logging import log
 
 
@@ -75,14 +76,18 @@ def main(argv: list[str] | None = None) -> int:
             files, args.k, args.format, batch_cfg.reads_per_batch, Lp)
 
     log("[Unitig] find unitigs")
-    arrays = contiger.assemble_unitigs_arrays(spec, stream(), params,
-                                              key_bits=meta.key_bits)
-    log(f"Number of unitigs: {arrays.n}")
-    log(f"Number of palindrome unitigs: {arrays.n_palindromes}")
-    log(f"Total length of unitigs: {int(arrays.offsets[-1])}")
+    profiling.reset()
+    with profiling.maybe_trace():
+        arrays = contiger.assemble_unitigs_arrays(spec, stream(), params,
+                                                  key_bits=meta.key_bits)
+        log(f"Number of unitigs: {arrays.n}")
+        log(f"Number of palindrome unitigs: {arrays.n_palindromes}")
+        log(f"Total length of unitigs: {int(arrays.offsets[-1])}")
 
-    log("[Dump] save the unitig graph to file.")
-    arrays.write_fasta(args.output)
+        log("[Dump] save the unitig graph to file.")
+        with profiling.phase("contiger:fasta dump"):
+            arrays.write_fasta(args.output)
+    profiling.GLOBAL.log_report("Contiger phase breakdown")
     log(f"Total time: {time.time() - t0:.1f} seconds.")
     return 0
 

@@ -20,6 +20,7 @@ from ..formats import cqf_ser
 from ..io import fastq
 from ..models import counter
 from ..ops import spectrum as sp
+from ..utils import profiling
 from ..utils.logging import current_datetime, log
 
 
@@ -94,18 +95,22 @@ def main(argv: list[str] | None = None) -> int:
     log(current_datetime())
     log("Start to build K-mer spectrum...")
     t0 = time.time()
-    spec, stats = counter.build_spectrum_from_files(
-        files, sizing, fmode=fmode, progress_every=200
-    )
-    keys, counts, traveled = sp.to_host(spec, sizing.hb)
-    cqf_ser.write_ser(
-        output, keys, counts, qb=sizing.qb, key_bits=sizing.hb,
-        nelts=stats.kmers, ndistinct=stats.distinct,
-    )
+    profiling.reset()
+    with profiling.maybe_trace():
+        spec, stats = counter.build_spectrum_from_files(
+            files, sizing, fmode=fmode, progress_every=200
+        )
+        with profiling.phase("count:serialize"):
+            keys, counts, traveled = sp.to_host(spec, sizing.hb)
+            cqf_ser.write_ser(
+                output, keys, counts, qb=sizing.qb, key_bits=sizing.hb,
+                nelts=stats.kmers, ndistinct=stats.distinct,
+            )
     log("Finished building K-mer spectrum!")
     log(f"Time for building K-mer spectrum: {time.time() - t0:.1f} seconds.")
     log(f"kmers={stats.kmers} distinct={stats.distinct} "
         f"batches={stats.batches} merges={stats.merges} sweeps={stats.sweeps}")
+    profiling.GLOBAL.log_report("CQF-deNoise phase breakdown")
     return 0
 
 

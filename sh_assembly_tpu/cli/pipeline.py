@@ -17,6 +17,7 @@ from ..formats import cqf_ser
 from ..io import fastq, native
 from ..models import contiger, counter, simplify
 from ..ops import spectrum as sp
+from ..utils import profiling
 from ..utils.logging import log
 
 
@@ -43,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     t0 = time.time()
+    profiling.reset()
+    with profiling.maybe_trace():
+        rc = _run(args, t0)
+    profiling.GLOBAL.log_report("pipeline phase breakdown")
+    return rc
+
+
+def _run(args, t0: float) -> int:
     sizing = cfg.size_counter(
         k=args.k, n_true_kmers=args.trueKmer, total_kmers=args.total_kmers,
         alpha=args.alpha, fr=args.fr, num_deNoise=args.deNoise,
@@ -70,12 +79,14 @@ def main(argv: list[str] | None = None) -> int:
         (batch_cfg.max_read_len + 7) // 8 * 8)
     graph = contiger.assemble_unitigs(spec, stream, params,
                                       key_bits=sizing.hb)
-    graph.write_fasta(args.unitigs)
+    with profiling.phase("contiger:fasta dump"):
+        graph.write_fasta(args.unitigs)
     log(f"{len(graph.unitigs)} unitigs -> {args.unitigs}")
 
     log("[3/3] simplifying graph")
-    contigs, sstats = simplify.simplify_to_contigs(graph)
-    simplify.write_contigs(args.output, contigs, args.k)
+    with profiling.phase("simplify"):
+        contigs, sstats = simplify.simplify_to_contigs(graph)
+        simplify.write_contigs(args.output, contigs, args.k)
     summary = simplify.contig_stats(
         contigs, genome_size=args.genome_size or None)
     log(f"removed tips={sstats['tips']} bubbles={sstats['bubbles']} "

@@ -47,7 +47,7 @@ from .. import config as cfg
 from ..io import fastq
 from ..ops import kmerpack as kp, kmerpack_np as kpn, nthash, packio, \
     spectrum as sp
-from ..utils import dna
+from ..utils import dna, profiling
 from ..utils.logging import log
 
 _U64 = jnp.uint64
@@ -616,8 +616,9 @@ def assemble_unitigs_arrays(
     """
     k = params.k
     check_solid_cap(key_bits, params.solid_kmer_abundance_max)
-    hi_np, lo_np = collect_nodes(spec, batches, k, key_bits,
-                                 params.kmer_abundance_min)
+    with profiling.phase("contiger:collect nodes"):
+        hi_np, lo_np = collect_nodes(spec, batches, k, key_bits,
+                                     params.kmer_abundance_min)
     N = len(hi_np)
     log(f"[Contiger] {N} distinct solid k-mers")
     if N == 0:
@@ -632,8 +633,10 @@ def assemble_unitigs_arrays(
     lo_pad[:N] = lo_np
     hi = jnp.asarray(hi_pad)
     lo = jnp.asarray(lo_pad)
-    nsucc, chain_next, node_counts = build_oriented_graph(
-        spec, hi, lo, k, key_bits, params.kmer_abundance_min)
+    with profiling.phase("contiger:probe graph"):
+        nsucc, chain_next, node_counts = build_oriented_graph(
+            spec, hi, lo, k, key_bits, params.kmer_abundance_min)
+        jax.block_until_ready(chain_next)
     real = np.zeros(Np, bool)
     real[:N] = True
     return finalize_unitigs(hi, lo, real, node_counts, chain_next, params)
@@ -656,9 +659,21 @@ def finalize_unitigs(
     """
     k = params.k
     Np = hi.shape[0]
-    head, dist, is_tail = contract_paths(chain_next)
-    rhi, rlo = kp.revcomp_packed(hi, lo, k)
-    tail_of, pathlen, keep = path_summary(head, dist, is_tail, hi, lo, rhi, rlo)
+    with profiling.phase("contiger:contract"):
+        head, dist, is_tail = contract_paths(chain_next)
+        rhi, rlo = kp.revcomp_packed(hi, lo, k)
+        tail_of, pathlen, keep = path_summary(
+            head, dist, is_tail, hi, lo, rhi, rlo)
+        jax.block_until_ready(keep)
+    with profiling.phase("contiger:host assembly"):
+        return _finalize_host(hi, lo, rhi, rlo, real, node_counts,
+                              chain_next, head, dist, tail_of, keep, params)
+
+
+def _finalize_host(hi, lo, rhi, rlo, real, node_counts, chain_next,
+                   head, dist, tail_of, keep, params):
+    k = params.k
+    Np = hi.shape[0]
 
     # ---- members of kept oriented paths, sorted by (head, dist) ----------
     a = np.arange(2 * Np, dtype=np.int64)

@@ -32,6 +32,7 @@ import numpy as np
 from .. import config as cfg
 from ..io import fastq
 from ..ops import nthash, packio, spectrum as sp
+from ..utils import profiling
 from ..utils.logging import log
 
 
@@ -211,10 +212,11 @@ def build_spectrum(
 
     def flush_stack():
         nonlocal spec, rounds_left, fill
-        spec, rounds_left, merges = count_scan_packed(
-            spec, rounds_left, jnp.asarray(stack_packed),
-            jnp.asarray(stack_nmask), jnp.asarray(stack_lengths),
-            threshold, k, key_bits, Lp)
+        with profiling.phase("count:device scan+merge"):
+            spec, rounds_left, merges = count_scan_packed(
+                spec, rounds_left, jnp.asarray(stack_packed),
+                jnp.asarray(stack_nmask), jnp.asarray(stack_lengths),
+                threshold, k, key_bits, Lp)
         stats.merges += int(merges)
         stack_packed.fill(0)
         stack_nmask.fill(0xFF)
@@ -222,7 +224,12 @@ def build_spectrum(
         fill = 0
 
     pad_cols = Lp - L
-    for batch in batches:
+    it = iter(batches)
+    while True:
+        with profiling.phase("count:host read/pack"):
+            batch = next(it, None)
+        if batch is None:
+            break
         if isinstance(batch, fastq.PackedBatch):
             # already in transport format (native reader packed path)
             if batch.row_len != Lp:
@@ -249,17 +256,19 @@ def build_spectrum(
     if fill:
         flush_stack()
 
-    spec = _merge_keep(spec, key_bits)
-    stats.merges += 1
-    sp.check_overflow(spec)
-    # the reference's trigger also fires on the final chunk (CQF_mt.h:858)
-    if int(rounds_left) > 0 and int(spec.ndistinct) >= int(threshold):
-        spec = _sweep(spec, key_bits)
-        rounds_left = rounds_left - 1
-        log(f"deNoise sweep done; distinct={int(spec.ndistinct)}")
-    if sizing.end_deNoise:
-        spec = _sweep(spec, key_bits)
-        log(f"end deNoise sweep; distinct={int(spec.ndistinct)}")
+    with profiling.phase("count:finalize merge+sweeps"):
+        spec = _merge_keep(spec, key_bits)
+        stats.merges += 1
+        sp.check_overflow(spec)
+        # the reference's trigger also fires on the final chunk
+        # (CQF_mt.h:858)
+        if int(rounds_left) > 0 and int(spec.ndistinct) >= int(threshold):
+            spec = _sweep(spec, key_bits)
+            rounds_left = rounds_left - 1
+            log(f"deNoise sweep done; distinct={int(spec.ndistinct)}")
+        if sizing.end_deNoise:
+            spec = _sweep(spec, key_bits)
+            log(f"end deNoise sweep; distinct={int(spec.ndistinct)}")
 
     stats.sweeps = sizing.num_deNoise - int(rounds_left) + (
         1 if sizing.end_deNoise else 0)
