@@ -88,11 +88,16 @@ class ShardedCounter:
         return jax.jit(f)()
 
     def step_fn(self):
-        """jit'd (spec, codes, lengths) -> spec — one counting superstep."""
+        """jit'd (spec, codes, lengths) -> spec — one counting superstep.
+
+        Merges the log buffer into main whenever the incoming routed block
+        would overflow it (sp.insert requires headroom — a blind append
+        would silently clamp the write and LOSE keys)."""
         k, key_bits = self.k, self.key_bits
         shard_bits = self.shard_bits
         mask = _U64((1 << key_bits) - 1)
         owner_shift = _U64(key_bits - shard_bits) if shard_bits else None
+        BC = self.local_buf_capacity
 
         def local_step(spec_v, codes, lengths):
             spec = spec_v._replace(
@@ -106,8 +111,15 @@ class ShardedCounter:
                 mine = (all_keys >> owner_shift) == me
             else:
                 mine = all_keys != sp.SENTINEL
-            routed = jnp.where(mine, all_keys, sp.SENTINEL)
-            out = sp.insert(spec, routed.reshape(-1))
+            routed = jnp.where(mine, all_keys, sp.SENTINEL).reshape(-1)
+            if routed.shape[0] > BC:
+                raise ValueError(
+                    f"one superstep routes {routed.shape[0]} keys but the "
+                    f"local buffer holds {BC}; raise local_buf_capacity")
+            need = spec.n_buf + routed.shape[0] > BC
+            spec = jax.lax.cond(
+                need, lambda s: sp.merge(s, key_bits), lambda s: s, spec)
+            out = sp.insert(spec, routed)
             return out._replace(
                 n_main=out.n_main[None], n_buf=out.n_buf[None],
                 ndistinct=out.ndistinct[None], nelts=out.nelts[None])
