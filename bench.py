@@ -3,26 +3,28 @@ headline configuration, README.md:76-101) plus honesty checks.
 
 Primary metric (the ONE JSON line): steady-state fused counting throughput
 at a REALISTIC filter load — the spectrum is pre-filled to ~150M distinct
-keys in a 2^28-slot store (same load factor as the flagship C. elegans
-config at its deNoise trigger, see CAPACITY.md) before timing.  Reads are
-pre-staged on device; the host-feed-included and end-to-end numbers are
-reported alongside on stderr.
+keys in a 2^28-slot store (the flagship C. elegans load factor at its
+deNoise trigger, see CAPACITY.md) before timing.  Reads are pre-staged on
+device in the production 2-bit transport format.
 
 vs_baseline: measured, not literature — the reference's own hot loop
 (tests/ref_harness/ref_count.cpp: its nthash.hpp + gqf.c insert1_advance,
 compiled -Ofast) is timed single-thread on this host and scaled by the
-reference's default 16 threads (generous: assumes perfect scaling, the
-spinlock protocol is not free).  Falls back to the 20M/s literature anchor
+reference's default 16 threads (generous: assumes perfect scaling; the
+spinlock protocol is not free).  Falls back to a 20M/s literature anchor
 if the harness can't build.
 
-Also reported (stderr):
-  - low-load geometry (round-1 comparable: empty 2^24 store)
-  - feed-included rate (host 2-bit pack + H2D inside the timed loop)
-  - merge roofline: buffer sort / merge kernel / full merge, achieved GB/s
-    vs the ~819 GB/s v5e HBM peak
+Also reported (stderr), all at the SAME geometry so nothing recompiles:
+  - merge roofline: buffer sort / full merge, achieved GB/s vs the
+    ~819 GB/s v5e HBM peak
   - TPU-vs-XLA merge bit-identity check (Pallas kernel vs sort path)
-  - end-to-end reads -> unitigs -> contigs wall clock on a synthetic
-    1 Mbp x 30x workload (host decode + H2D + device + host assembly)
+
+SH_BENCH_FULL=1 adds the slow extended sections (fresh program geometries,
+several minutes of compiles on axon — the driver timeout budget is spent
+on the primary by default):
+  - feed-included rate (disk FASTQ -> native C++ 2-bit pack -> H2D ->
+    device), second-call steady state
+  - end-to-end reads -> unitigs -> contigs wall clock (1 Mbp x 30x)
 """
 
 import json
@@ -62,12 +64,13 @@ def measure_cpu_baseline() -> tuple[float, str]:
     genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
     b = np.frombuffer(b"ACGT", np.uint8)
     fq = os.path.join(tempfile.gettempdir(), "bench_ref.fastq")
+    starts = rng.integers(0, len(genome) - read_len, size=n_reads)
+    rows = b[genome[starts[:, None] + np.arange(read_len)]]
     with open(fq, "wb") as f:
         quals = b"I" * read_len
-        starts = rng.integers(0, len(genome) - read_len, size=n_reads)
-        for i, s in enumerate(starts):
+        for i in range(n_reads):
             f.write(b"@r%d\n" % i)
-            f.write(b[genome[s:s + read_len]].tobytes())
+            f.write(rows[i].tobytes())
             f.write(b"\n+\n%s\n" % quals)
     kmers = n_reads * (read_len - k + 1)
     qb = 24  # ~8.1M distinct kmers -> comfortably inside 2^24 slots
@@ -88,109 +91,91 @@ def main() -> int:
     import jax.numpy as jnp
 
     from sh_assembly_tpu.models import counter
-    from sh_assembly_tpu.ops import spectrum as sp
+    from sh_assembly_tpu.ops import packio, spectrum as sp
 
     baseline, baseline_src = measure_cpu_baseline()
 
+    # ---- one geometry for everything ------------------------------------
+    # flagship-equivalent: C. elegans k=47 sizing gives qb=29 at 0.58 load
+    # (CAPACITY.md); qb=28 at the same load factor halves the fill time
+    # without changing the per-key cost profile.
     k = 47
-    S, B, L = 32, 8192, 160
-    windows = B * (L - k + 1)
-    rng = np.random.default_rng(2038074761)
-    genome = rng.integers(0, 4, size=8_000_000).astype(np.uint8)
-
-    def make_supers(n_super):
-        out = []
-        for _ in range(n_super):
-            stack = np.empty((S, B, L), np.uint8)
-            for s in range(S):
-                starts = rng.integers(0, len(genome) - L, size=B)
-                stack[s] = np.stack([genome[st:st + L] for st in starts])
-            out.append(stack)
-        return out
-
-    lengths = jax.device_put(jnp.asarray(np.full((S, B), L, np.int32)))
-    threshold = jnp.asarray(1 << 62, jnp.int64)
-
-    def run_once(spec, rl, data, key_bits):
-        for stack in data:
-            spec, rl, m = counter.count_scan(
-                spec, rl, stack, lengths, threshold, k, key_bits)
-        spec = counter._merge_keep(spec, key_bits)
-        jax.block_until_ready(spec.hi)
-        return spec, rl
-
-    # ---- primary: realistic load (flagship-equivalent occupancy) ---------
     qb = 28
     key_bits = qb + 8
     C, BC = 1 << qb, 1 << 27
-    n_fill = int(0.55 * C)  # ~ flagship load factor at the deNoise trigger
-    fill_keys = rng.integers(0, 1 << key_bits, size=n_fill, dtype=np.uint64)
-    fill_keys = np.unique(fill_keys)
-    fill_counts = rng.integers(2, 50, size=len(fill_keys)).astype(np.int64)
-    spec = sp.from_host(fill_keys, fill_counts, C, BC, key_bits=key_bits)
-    del fill_keys, fill_counts
-    supers = [jax.device_put(jnp.asarray(s)) for s in make_supers(4)]
+    S, B, L = 8, 8192, 160
+    W = L - k + 1
+    windows = B * W
+
+    rng = np.random.default_rng(2038074761)
+    genome = rng.integers(0, 4, size=8_000_000).astype(np.uint8)
+    t_all = time.time()
+
+    def make_super():
+        """One packed [S, B, L] transport stack of random reads."""
+        starts = rng.integers(0, len(genome) - L, size=(S, B))
+        codes = genome[(starts[..., None] + np.arange(L))]
+        pk = np.empty((S, B, L // 4), np.uint8)
+        nm = np.empty((S, B, L // 8), np.uint8)
+        for s in range(S):
+            pk[s], nm[s] = packio.pack_np(codes[s])
+        return (jax.device_put(jnp.asarray(pk)),
+                jax.device_put(jnp.asarray(nm)),
+                jax.device_put(jnp.asarray(np.full((S, B), L, np.int32))))
+
+    # ---- fill to realistic load ON DEVICE --------------------------------
+    @jax.jit
+    def rand_keys(seed):
+        kk = jax.random.key(seed)
+        a = jax.random.bits(kk, (BC,), jnp.uint32).astype(jnp.uint64)
+        b2 = jax.random.bits(jax.random.fold_in(kk, 1), (BC,),
+                             jnp.uint32).astype(jnp.uint64)
+        return ((a << jnp.uint64(32)) | b2) & jnp.uint64((1 << key_bits) - 1)
+
+    spec = sp.make(C, BC)
+    n_fill_chunks = 2  # 2 x 2^27 random draws ~ 255M distinct (0.95 load
+    # pre-sweep) -> after dedup ~ 247M; sweep drops singletons to keep the
+    # steady load at ~0.55 like the flagship at its trigger
+    for i in range(n_fill_chunks):
+        spec = sp.insert(spec, rand_keys(i))
+        spec = sp.merge(spec, key_bits)  # compiles standalone merge once
+    # second occurrences for half the keys so the store isn't all-singleton
+    spec = sp.insert(spec, rand_keys(0))
+    spec = sp.merge(spec, key_bits, drop_singletons=True)
+    jax.block_until_ready(spec.hi)
+    n_loaded = int(spec.ndistinct)
+    log(f"# fill: {n_loaded/1e6:.0f}M distinct at load "
+        f"{n_loaded/C:.2f} ({time.time()-t_all:.0f}s incl compiles)")
+
+    # ---- primary: steady-state fused counting ----------------------------
+    threshold = jnp.asarray(1 << 62, jnp.int64)
     rl = jnp.asarray(0, jnp.int32)
-    spec, rl = run_once(spec, rl, supers[:1], key_bits)  # compile+warm
+
+    def run_once(spec, rl, supers):
+        m_total = 0
+        for pk, nm, ln in supers:
+            spec, rl, m = counter.count_scan_packed(
+                spec, rl, pk, nm, ln, threshold, k, key_bits, L)
+            m_total += int(m)
+        jax.block_until_ready(spec.hi)
+        return spec, rl, m_total
+
+    supers = [make_super() for _ in range(16)]
+    spec, rl, _ = run_once(spec, rl, supers[:1])  # compile + warm
     t0 = time.time()
-    spec, rl = run_once(spec, rl, supers, key_bits)
+    spec, rl, merges = run_once(spec, rl, supers)
     dt = time.time() - t0
     kmers = len(supers) * S * windows
     rate = kmers / dt
-    log(f"# primary(qb=28, {int(spec.ndistinct)/1e6:.0f}M distinct): "
-        f"{rate/1e6:.1f}M kmers/s ({kmers} in {dt:.2f}s)")
-    del spec, supers
+    log(f"# primary(qb={qb}, {int(spec.ndistinct)/1e6:.0f}M distinct): "
+        f"{rate/1e6:.1f}M kmers/s ({kmers} in {dt:.2f}s, {merges} merges)")
+    del supers
 
-    # ---- low-load geometry (round-1 comparable) ---------------------------
-    qb2, kb2 = 24, 32
-    spec2 = sp.make(1 << qb2, BC)
-    supers2 = [jax.device_put(jnp.asarray(s)) for s in make_supers(4)]
-    rl = jnp.asarray(0, jnp.int32)
-    spec2, rl = run_once(spec2, rl, supers2[:2], kb2)
-    t0 = time.time()
-    spec2, rl = run_once(spec2, rl, supers2, kb2)
-    dt2 = time.time() - t0
-    log(f"# low-load(qb=24): {len(supers2)*S*windows/dt2/1e6:.1f}M kmers/s")
-    del spec2, supers2
-
-    # ---- feed-included: the REAL production path (FASTQ on disk -> native
-    # C++ decode/pack -> H2D -> fused device counting) ----------------------
-    try:
-        from sh_assembly_tpu import config as cfgmod
-
-        fq = os.path.join(tempfile.gettempdir(), "bench_ref.fastq")
-        if not os.path.exists(fq):
-            raise RuntimeError("baseline FASTQ missing")
-        files4 = [fq] * 4  # ~32.4M kmers at k=47
-        kmers4 = 4 * 150_000 * (100 - k + 1)
-        sz = cfgmod.CounterSizing(
-            k=k, qb=qb2, hb=kb2, num_true_kmers=0, num_false_kmers=0,
-            n_true_kmers=1, num_deNoise=0, ndistinct_for_deNoise=1 << 62,
-            end_deNoise=False, fr=0.0)
-        bcfg = cfgmod.BatchConfig(reads_per_batch=8192, max_read_len=104)
-        counter.build_spectrum_from_files(  # warmup: compiles this geometry
-            [fq], sz, batch_cfg=bcfg, capacity=1 << qb2, buf_capacity=BC)
-        t0 = time.time()
-        _, st3 = counter.build_spectrum_from_files(
-            files4, sz, batch_cfg=bcfg, capacity=1 << qb2, buf_capacity=BC)
-        dt3 = time.time() - t0
-        log(f"# feed-included(qb=24): {kmers4/dt3/1e6:.1f}M kmers/s "
-            f"(disk + C++ decode/pack + H2D + device; {dt3:.2f}s)")
-    except Exception as e:
-        log(f"# feed-included skipped: {e!r}")
-
-    # ---- merge roofline ----------------------------------------------------
+    # ---- roofline + bit identity at the SAME geometry --------------------
     try:
         from sh_assembly_tpu.ops import merge_pallas as mp
 
-        Cr, BCr = 1 << 25, 1 << 25
-        keys_m = np.unique(rng.integers(0, 1 << key_bits, size=Cr // 2,
-                                        dtype=np.uint64))
-        specr = sp.from_host(keys_m, np.full(len(keys_m), 2, np.int64),
-                             Cr, BCr, key_bits=key_bits)
-        bufk = rng.integers(0, 1 << key_bits, size=BCr, dtype=np.uint64)
-        specr = sp.insert(specr, jnp.asarray(bufk))
-
+        specr = sp.insert(spec, rand_keys(7))
         sortfn = jax.jit(lambda x: jax.lax.sort(
             mp.kernel_pack_buf(x, key_bits)))
         _ = jax.block_until_ready(sortfn(specr.buf_keys))
@@ -198,28 +183,24 @@ def main() -> int:
         _ = jax.block_until_ready(sortfn(specr.buf_keys))
         t_sort = time.time() - t0
 
-        mergefn = jax.jit(sp._merge_kernel_path,
-                          static_argnames=("key_bits", "drop_singletons")) \
-            if sp._pallas_available() else \
-            jax.jit(sp._merge_xla_path,
-                    static_argnames=("key_bits", "drop_singletons"))
+        mergefn = (sp._merge_kernel_path if sp._pallas_available()
+                   else sp._merge_xla_path)
+        jfn = jax.jit(mergefn,
+                      static_argnames=("key_bits", "drop_singletons"))
         _ = jax.block_until_ready(
-            mergefn(specr, key_bits=key_bits, drop_singletons=False).hi)
+            jfn(specr, key_bits=key_bits, drop_singletons=False).hi)
         t0 = time.time()
-        out = mergefn(specr, key_bits=key_bits, drop_singletons=False)
+        out = jfn(specr, key_bits=key_bits, drop_singletons=False)
         jax.block_until_ready(out.hi)
         t_merge = time.time() - t0
-        gb = 16 * (Cr + BCr) / 1e9
-        log(f"# roofline(C=BC=2^25): buf sort {t_sort*1e3:.0f}ms, full merge "
-            f"{t_merge*1e3:.0f}ms = {gb/t_merge:.0f} GB/s achieved vs "
-            f"{HBM_PEAK_GBPS:.0f} GB/s HBM peak "
-            f"({100*gb/t_merge/HBM_PEAK_GBPS:.0f}%)")
+        gb = 16 * (C + BC) / 1e9
+        log(f"# roofline(C=2^{qb},BC=2^27): buf sort {t_sort*1e3:.0f}ms, "
+            f"full merge {t_merge*1e3:.0f}ms = {gb/t_merge:.0f} GB/s "
+            f"achieved vs {HBM_PEAK_GBPS:.0f} GB/s HBM peak "
+            f"({100*gb/t_merge/HBM_PEAK_GBPS:.1f}%)")
 
-        # ---- bit identity: Pallas kernel vs XLA sort path ------------------
         if sp._pallas_available():
-            a = jax.jit(sp._merge_kernel_path,
-                        static_argnames=("key_bits", "drop_singletons"))(
-                specr, key_bits=key_bits, drop_singletons=True)
+            a = jfn(specr, key_bits=key_bits, drop_singletons=True)
             bq = jax.jit(sp._merge_xla_path,
                          static_argnames=("key_bits", "drop_singletons"))(
                 specr, key_bits=key_bits, drop_singletons=True)
@@ -229,11 +210,58 @@ def main() -> int:
                 f"{'OK' if same else 'MISMATCH'}")
             if not same:
                 raise RuntimeError("kernel/XLA merge mismatch")
-        del specr
-    except Exception as e:  # roofline is diagnostic; never kill the bench
-        log(f"# roofline skipped: {e!r}")
+        del specr, out
+    except Exception as e:  # diagnostics; never kill the bench
+        log(f"# roofline/identity skipped: {e!r}")
+    del spec
 
-    # ---- end-to-end reads -> contigs ---------------------------------------
+    if os.environ.get("SH_BENCH_FULL"):
+        extended(k, baseline)
+
+    print(json.dumps({
+        "metric": "kmers_counted_per_sec_per_chip_k47_loaded",
+        "value": round(rate),
+        "unit": "kmers/s",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+    log(f"# baseline source: {baseline_src}; "
+        f"total bench time {time.time()-t_all:.0f}s")
+    return 0
+
+
+def extended(k: int, baseline: float) -> None:
+    """Slow sections (fresh geometries; minutes of axon compiles)."""
+    import jax
+
+    from sh_assembly_tpu import config as cfgmod
+    from sh_assembly_tpu.models import counter
+
+    rng = np.random.default_rng(7)
+
+    # ---- feed-included: disk FASTQ -> native C++ 2-bit pack -> H2D -> dev
+    try:
+        fq = os.path.join(tempfile.gettempdir(), "bench_ref.fastq")
+        if not os.path.exists(fq):
+            raise RuntimeError("baseline FASTQ missing")
+        files = [fq] * 4
+        kmers = 4 * 150_000 * (100 - k + 1)
+        qb2 = 24
+        sz = cfgmod.CounterSizing(
+            k=k, qb=qb2, hb=qb2 + 8, num_true_kmers=0, num_false_kmers=0,
+            n_true_kmers=1, num_deNoise=0, ndistinct_for_deNoise=1 << 62,
+            end_deNoise=False, fr=0.0)
+        bcfg = cfgmod.BatchConfig(reads_per_batch=8192, max_read_len=104)
+        kw = dict(batch_cfg=bcfg, capacity=1 << qb2, buf_capacity=1 << 26)
+        counter.build_spectrum_from_files(files, sz, **kw)  # warm/compile
+        t0 = time.time()
+        counter.build_spectrum_from_files(files, sz, **kw)
+        dt = time.time() - t0
+        log(f"# feed-included(qb={qb2}): {kmers/dt/1e6:.1f}M kmers/s "
+            f"(disk + C++ decode/pack + H2D + device; {dt:.2f}s)")
+    except Exception as e:
+        log(f"# feed-included skipped: {e!r}")
+
+    # ---- end-to-end reads -> contigs -------------------------------------
     try:
         from sh_assembly_tpu.cli import pipeline as pipe
 
@@ -241,12 +269,13 @@ def main() -> int:
         g2 = rng.integers(0, 4, size=1_000_000).astype(np.uint8)
         bmap = np.frombuffer(b"ACGT", np.uint8)
         n_reads, rl_ = 300_000, 100
+        starts = rng.integers(0, len(g2) - rl_, size=n_reads)
+        rows = bmap[g2[starts[:, None] + np.arange(rl_)]]
         with open(os.path.join(d, "reads.fastq"), "wb") as f:
             quals = b"I" * rl_
-            starts = rng.integers(0, len(g2) - rl_, size=n_reads)
-            for i, s in enumerate(starts):
+            for i in range(n_reads):
                 f.write(b"@r%d\n" % i)
-                f.write(bmap[g2[s:s + rl_]].tobytes())
+                f.write(rows[i].tobytes())
                 f.write(b"\n+\n%s\n" % quals)
         with open(os.path.join(d, "ReadFiles.txt"), "w") as f:
             f.write("reads.fastq\n")
@@ -262,15 +291,6 @@ def main() -> int:
             f"({total_kmers/dte/1e6:.1f}M kmers/s incl. everything)")
     except Exception as e:
         log(f"# end-to-end skipped: {e!r}")
-
-    print(json.dumps({
-        "metric": "kmers_counted_per_sec_per_chip_k47_loaded",
-        "value": round(rate),
-        "unit": "kmers/s",
-        "vs_baseline": round(rate / baseline, 3),
-    }))
-    log(f"# baseline source: {baseline_src}")
-    return 0
 
 
 if __name__ == "__main__":

@@ -162,6 +162,36 @@ class BuildStats:
     seconds: float = 0.0
 
 
+def _prefetch(it: Iterator, depth: int = 8) -> Iterator:
+    """Pull from `it` on a background thread so host read/decode overlaps
+    device compute (the reference overlaps via its reader threads,
+    CQF_mt.h:821-857; here one thread suffices — the heavy decode already
+    lives in the native C++ reader)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+            q.put(DONE)
+        except BaseException as e:  # surface errors at the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        x = q.get()
+        if x is DONE:
+            return
+        if isinstance(x, BaseException):
+            raise x
+        yield x
+
+
 def build_spectrum(
     batches: Iterable[fastq.Batch],
     sizing: cfg.CounterSizing,
@@ -209,22 +239,39 @@ def build_spectrum(
     stack_nmask = np.full((S, B, Lp // 8), 0xFF, np.uint8)
     stack_lengths = np.zeros((S, B), np.int32)
     fill = 0
+    # host mirror of the device n_buf (insert/merge cadence is
+    # deterministic), so the finalize merge can be right-sized without a
+    # device sync
+    BW = B * (Lp - k + 1)
+    host_nbuf = 0
+    pending_nmain = None  # previous superstep's n_main (overflow check)
+
+    merge_futures = []
 
     def flush_stack():
-        nonlocal spec, rounds_left, fill
+        nonlocal spec, rounds_left, fill, host_nbuf
+        nonlocal stack_packed, stack_nmask, stack_lengths
         with profiling.phase("count:device scan+merge"):
+            # async dispatch: returns futures; overlap with host feed
             spec, rounds_left, merges = count_scan_packed(
                 spec, rounds_left, jnp.asarray(stack_packed),
                 jnp.asarray(stack_nmask), jnp.asarray(stack_lengths),
                 threshold, k, key_bits, Lp)
-        stats.merges += int(merges)
-        stack_packed.fill(0)
-        stack_nmask.fill(0xFF)
-        stack_lengths.fill(0)
+        merge_futures.append(merges)  # int() here would sync the pipeline
+        for _ in range(fill):  # mirror the in-scan merge cadence
+            if host_nbuf + BW > buf_capacity:
+                host_nbuf = 0
+            host_nbuf += BW
+        # FRESH staging arrays: jnp.asarray may zero-copy numpy memory on
+        # CPU backends, so mutating the old stack would race the async
+        # dispatch that still reads it
+        stack_packed = np.zeros((S, B, Lp // 4), np.uint8)
+        stack_nmask = np.full((S, B, Lp // 8), 0xFF, np.uint8)
+        stack_lengths = np.zeros((S, B), np.int32)
         fill = 0
 
     pad_cols = Lp - L
-    it = iter(batches)
+    it = _prefetch(iter(batches))
     while True:
         with profiling.phase("count:host read/pack"):
             batch = next(it, None)
@@ -249,7 +296,12 @@ def build_spectrum(
         stats.batches += 1
         if fill == S:
             flush_stack()
-            sp.check_overflow(spec)
+            # check the PREVIOUS superstep's n_main: one step of slack
+            # keeps the device pipeline full (no sync on in-flight work).
+            # .copy(): the original buffer is donated by the NEXT dispatch
+            if pending_nmain is not None:
+                sp.check_overflow_value(pending_nmain, capacity)
+            pending_nmain = spec.n_main.copy()
             if progress_every and stats.batches % progress_every < S:
                 log(f"batch {stats.batches}: nelts={int(spec.nelts)} "
                     f"ndistinct(last merge)={int(spec.ndistinct)}")
@@ -257,8 +309,8 @@ def build_spectrum(
         flush_stack()
 
     with profiling.phase("count:finalize merge+sweeps"):
-        spec = _merge_keep(spec, key_bits)
-        stats.merges += 1
+        spec = sp.merge_sized(spec, key_bits, host_nbuf)
+        stats.merges += 1 + sum(int(m) for m in merge_futures)
         sp.check_overflow(spec)
         # the reference's trigger also fires on the final chunk
         # (CQF_mt.h:858)

@@ -589,12 +589,49 @@ def magnitude(a: Spectrum, key_bits: int) -> jax.Array:
 
 def check_overflow(spec: Spectrum) -> None:
     """Raise if a merge produced more distinct keys than the capacity holds
-    (the reference would silently corrupt memory here, gqf xnslots)."""
-    n = int(np.max(np.asarray(spec.n_main)))
-    if n > spec.capacity:
+    (the reference would silently corrupt memory here, gqf xnslots).
+
+    NOTE: np.asarray(n_main) blocks until all queued device work for this
+    spectrum finishes — on the hot path, check the PREVIOUS superstep's
+    n_main instead (check_overflow_value) so the device pipeline stays
+    full."""
+    check_overflow_value(spec.n_main, spec.capacity)
+
+
+def check_overflow_value(n_main, capacity: int) -> None:
+    """check_overflow on a detached n_main value (possibly still in
+    flight)."""
+    n = int(np.max(np.asarray(n_main)))
+    if n > capacity:
         raise RuntimeError(
             f"spectrum overflow: {n} distinct keys > capacity "
-            f"{spec.capacity}; raise qb / capacity")
+            f"{capacity}; raise qb / capacity")
+
+
+def merge_sized(spec: Spectrum, key_bits: int, fill: int,
+                drop_singletons: bool = False) -> Spectrum:
+    """merge(), but sorting only a prefix of the buffer when it is mostly
+    empty.
+
+    A merge's buffer cost is O(BC log BC) in the SORT extent regardless of
+    fill; on a finalize merge after a short stream (or the stream's tail)
+    that wastes most of the pass on SENTINEL padding.  The host caller
+    knows the exact fill (n_buf advances deterministically), so slice the
+    live prefix and restore the full-size (empty) buffer afterwards.
+
+    DELIBERATELY coarse — the only prefix used is BC/16 (fill below
+    BC/16), else the full merge: every distinct prefix length is a whole
+    extra XLA program, and on backends without a persistent compile cache
+    (axon) a ~20 s compile to save a fraction of a second loses badly.
+    """
+    BC = spec.buf_capacity
+    M = BC // 16
+    if fill > M or M < (1 << 16):
+        return merge(spec, key_bits, drop_singletons)
+    small = spec._replace(buf_keys=spec.buf_keys[:M])
+    out = merge(small, key_bits, drop_singletons)
+    return out._replace(
+        buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64))
 
 
 def to_host(spec: Spectrum, key_bits: int):
