@@ -662,16 +662,16 @@ def finalize_unitigs(
     with profiling.phase("contiger:contract"):
         head, dist, is_tail = contract_paths(chain_next)
         rhi, rlo = kp.revcomp_packed(hi, lo, k)
-        tail_of, pathlen, keep = path_summary(
+        _, _, keep = path_summary(
             head, dist, is_tail, hi, lo, rhi, rlo)
         jax.block_until_ready(keep)
     with profiling.phase("contiger:host assembly"):
         return _finalize_host(hi, lo, rhi, rlo, real, node_counts,
-                              chain_next, head, dist, tail_of, keep, params)
+                              head, dist, keep, params)
 
 
-def _finalize_host(hi, lo, rhi, rlo, real, node_counts, chain_next,
-                   head, dist, tail_of, keep, params):
+def _finalize_host(hi, lo, rhi, rlo, real, node_counts,
+                   head, dist, keep, params):
     k = params.k
     Np = hi.shape[0]
 

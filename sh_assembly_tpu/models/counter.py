@@ -166,30 +166,51 @@ def _prefetch(it: Iterator, depth: int = 8) -> Iterator:
     """Pull from `it` on a background thread so host read/decode overlaps
     device compute (the reference overlaps via its reader threads,
     CQF_mt.h:821-857; here one thread suffices — the heavy decode already
-    lives in the native C++ reader)."""
+    lives in the native C++ reader).
+
+    If the consumer exits early (overflow raise, generator close), the
+    worker is cancelled via a flag it checks between bounded q.put attempts
+    and the source iterator is closed so generator finally-blocks run (the
+    native reader handle would otherwise leak its C++ threads)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE = object()
+    cancelled = threading.Event()
 
     def worker():
         try:
             for x in it:
-                q.put(x)
+                while not cancelled.is_set():
+                    try:
+                        q.put(x, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if cancelled.is_set():
+                    return
             q.put(DONE)
         except BaseException as e:  # surface errors at the consumer
-            q.put(e)
+            if not cancelled.is_set():
+                q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        x = q.get()
-        if x is DONE:
-            return
-        if isinstance(x, BaseException):
-            raise x
-        yield x
+    try:
+        while True:
+            x = q.get()
+            if x is DONE:
+                return
+            if isinstance(x, BaseException):
+                raise x
+            yield x
+    finally:
+        cancelled.set()
+        close = getattr(it, "close", None)
+        if close is not None:
+            t.join(timeout=5.0)  # let the worker leave the iterator first
+            close()
 
 
 def build_spectrum(
@@ -307,6 +328,16 @@ def build_spectrum(
                     f"ndistinct(last merge)={int(spec.ndistinct)}")
     if fill:
         flush_stack()
+
+    # End-of-stream overflow checks: the deferred pending_nmain covers the
+    # second-to-last superstep, and spec.n_main covers the last one (the
+    # stream's tail is the most likely overflow point — the store fills
+    # monotonically).  One host sync here costs nothing; without it an
+    # overflow in the final supersteps would be masked because the next
+    # merge recomputes n_main from planes already truncated to [:capacity].
+    if pending_nmain is not None:
+        sp.check_overflow_value(pending_nmain, capacity)
+    sp.check_overflow(spec)
 
     with profiling.phase("count:finalize merge+sweeps"):
         spec = sp.merge_sized(spec, key_bits, host_nbuf)

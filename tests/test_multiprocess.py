@@ -18,8 +18,18 @@ from oracle import oracle_count, random_reads
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def _free_port() -> int:
+    """Ephemeral port: bind :0, read the number, release it (a fixed
+    constant collides with concurrent CI runs / xdist workers)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_counting_matches_oracle(tmp_path):
-    port = 49871
+    port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker sets cpu itself
     procs = [
