@@ -37,8 +37,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("-X", "--solid_abundance_max", type=int, default=1_000_000,
                    help="max coverage of a solid k-mer to start the assembly")
     p.add_argument("-t", type=int, default=16, dest="threads",
-                   help="unused (device parallelism is automatic); kept for"
-                        " flag parity")
+                   help="host reader/decode threads (device parallelism is"
+                        " automatic); reference default 16")
     p.add_argument("-o", "--output", type=str, default="unitigs.fa",
                    help="output unitig fasta")
     return p
@@ -73,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
 
     def stream():
         return native.packed_batches_from_files(
-            files, args.k, args.format, batch_cfg.reads_per_batch, Lp)
+            files, args.k, args.format, batch_cfg.reads_per_batch, Lp,
+            n_threads=args.threads)
 
     log("[Unitig] find unitigs")
     profiling.reset()

@@ -46,8 +46,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--endDeNoise", action="store_true",
                    help="deNoise once more after processing all k-mers")
     p.add_argument("-t", type=int, default=16, dest="threads",
-                   help="unused (device parallelism is automatic); kept for"
-                        " flag parity")
+                   help="host reader/decode threads (device parallelism is"
+                        " automatic); reference default 16")
     p.add_argument("-f", "--format", type=str, default="f",
                    choices=["g", "b", "f"], help="g(zip) b(zip2) f(astq)")
     p.add_argument("-i", "--input", type=str, required=True,
@@ -98,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
     profiling.reset()
     with profiling.maybe_trace():
         spec, stats = counter.build_spectrum_from_files(
-            files, sizing, fmode=fmode, progress_every=200
+            files, sizing, fmode=fmode, progress_every=200,
+            n_threads=args.threads,
         )
         with profiling.phase("count:serialize"):
             keys, counts, traveled = sp.to_host(spec, sizing.hb)

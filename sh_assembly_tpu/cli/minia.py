@@ -42,7 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     g = simplify.load_unitig_fasta(args.input, args.k)
     log(f"[simplify] {len(g.unitigs)} unitigs")
 
-    sg = simplify.SimpleGraph.from_unitig_graph(g)
+    from ..models import simplify_arrays
+
+    sg = simplify_arrays.ArrayGraph.from_unitig_graph(g)
     stats = {"tips": 0, "bubbles": 0, "ec": 0, "rounds": 0}
     for _ in range(simplify.MAX_ROUNDS):
         t = 0 if args.no_tip_removal else sg.clip_tips()
@@ -57,10 +59,10 @@ def main(argv: list[str] | None = None) -> int:
         stats["rounds"] += 1
         if t + b + e == 0:
             break
-    contigs = sg.contigs()
+    codes, offs, cov = sg.contigs_arrays()
 
-    simplify.write_contigs(out, contigs, args.k)
-    summary = simplify.contig_stats(contigs)
+    simplify_arrays.write_contigs_arrays(out, codes, offs, cov)
+    summary = simplify_arrays.contig_stats_arrays(offs)
     log(f"[simplify] removed tips={stats['tips']} bubbles={stats['bubbles']} "
         f"ec={stats['ec']} in {stats['rounds']} rounds")
     log(f"[simplify] contigs={summary['n_contigs']} total={summary['total_len']} "

@@ -188,16 +188,19 @@ def write_ser(
                 nelts=int(counts.sum()) if nelts is None else nelts,
                 ndistinct_elts=len(keys) if ndistinct is None else ndistinct)
     bps = m.bits_per_slot
-    if bps != 8:
-        raise NotImplementedError("only 8-bit slots (hb = qb + 8) supported")
+    if not (1 < bps <= 56):
+        raise NotImplementedError(
+            f"bits_per_slot={bps} out of the supported 2..56 range "
+            f"(reference default is hb = qb + 8 -> 8-bit slots)")
 
     buckets = (keys >> np.uint64(bps)).astype(np.int64)
     rems = (keys & np.uint64((1 << bps) - 1)).astype(np.int64)
 
     # --- per-entry encodings -------------------------------------------------
-    # Vectorized for count==1 and 2..128; rare huge counts via python.
+    # Vectorized for count==1 and 2..2^(bps-1); rare huge counts via python.
+    msb = 1 << (bps - 1)
     d0 = counts - 1
-    enc_len = np.where(counts == 1, 1, np.where(d0 < 128, np.where(d0 > rems, 3, 2), -1))
+    enc_len = np.where(counts == 1, 1, np.where(d0 < msb, np.where(d0 > rems, 3, 2), -1))
     big = enc_len < 0
     big_encs = {}
     if big.any():
@@ -219,8 +222,8 @@ def write_ser(
     if total_slots > m.xnslots:
         raise ValueError(f"CQF overflow: needs {total_slots} slots, has {m.xnslots}")
 
-    # --- fill slot bytes -----------------------------------------------------
-    slots = np.zeros(m.nblocks * SLOTS_PER_BLOCK, dtype=np.uint8)
+    # --- fill slot values ----------------------------------------------------
+    slots = np.zeros(m.nblocks * SLOTS_PER_BLOCK, dtype=np.int64)
     # entry start position: run_start of its bucket + cumsum of enc_len within run
     entry_run = np.searchsorted(occ_buckets, buckets)
     within = np.cumsum(enc_len) - enc_len - s_prev[entry_run]
@@ -228,10 +231,10 @@ def write_ser(
 
     ones = counts == 1
     slots[entry_start[ones]] = rems[ones]
-    two = (counts > 1) & (d0 < 128) & (d0 <= rems)
+    two = (counts > 1) & (d0 < msb) & (d0 <= rems)
     slots[entry_start[two]] = rems[two]
     slots[entry_start[two] + 1] = d0[two]
-    three = (counts > 1) & (d0 < 128) & (d0 > rems)
+    three = (counts > 1) & (d0 < msb) & (d0 > rems)
     slots[entry_start[three]] = rems[three]
     slots[entry_start[three] + 1] = 0
     slots[entry_start[three] + 2] = d0[three]
@@ -270,7 +273,16 @@ def write_ser(
     blocks[:, 1:9] = occ64
     blocks[:, 9:17] = run64
     blocks[:, 17:25] = trv64
-    blocks[:, 25:] = slots.reshape(m.nblocks, SLOTS_PER_BLOCK)
+    if bps == 8:
+        blocks[:, 25:] = slots.reshape(m.nblocks, SLOTS_PER_BLOCK)
+    else:
+        # generic width: LSB-first contiguous bit packing, matching the
+        # reference's runtime get_slot/set_slot shift arithmetic
+        # (gqf.c BITS_PER_SLOT==0 path)
+        bits = ((slots[:, None] >> np.arange(bps)) & 1).astype(np.uint8)
+        blocks[:, 25:] = np.packbits(
+            bits.reshape(m.nblocks, SLOTS_PER_BLOCK * bps),
+            axis=1, bitorder="little")
 
     with open(path, "wb") as f:
         f.write(_pack_metadata(m))
@@ -284,13 +296,20 @@ def read_ser(path: str):
         m = _unpack_metadata(f.read(METADATA_BYTES))
         raw = np.frombuffer(f.read(m.size), dtype=np.uint8)
     bps = m.bits_per_slot
-    if bps != 8:
-        raise NotImplementedError("only 8-bit slots supported")
+    if not (1 < bps <= 56):
+        raise NotImplementedError(
+            f"bits_per_slot={bps} out of the supported 2..56 range "
+            f"(reference default is hb = qb + 8 -> 8-bit slots)")
     blocks = raw.reshape(m.nblocks, m.block_bytes)
     occupieds = np.unpackbits(blocks[:, 1:9], axis=1, bitorder="little").reshape(-1).astype(bool)
     runends = np.unpackbits(blocks[:, 9:17], axis=1, bitorder="little").reshape(-1).astype(bool)
     travbits = np.unpackbits(blocks[:, 17:25], axis=1, bitorder="little").reshape(-1).astype(bool)
-    slots = blocks[:, 25:].reshape(-1)
+    if bps == 8:
+        slots = blocks[:, 25:].reshape(-1).astype(np.int64)
+    else:
+        bits = np.unpackbits(blocks[:, 25:], axis=1, bitorder="little")
+        slots = bits.reshape(-1, bps).astype(np.int64) @ \
+            (np.int64(1) << np.arange(bps, dtype=np.int64))
 
     occ_buckets = np.flatnonzero(occupieds)
     end_pos = np.flatnonzero(runends)

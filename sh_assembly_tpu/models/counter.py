@@ -381,6 +381,7 @@ def build_spectrum_from_files(
     sizing: cfg.CounterSizing,
     fmode: str = "auto",
     batch_cfg: cfg.BatchConfig | None = None,
+    n_threads: int = 4,
     **kw,
 ) -> tuple[sp.Spectrum, BuildStats]:
     from ..io import native
@@ -388,6 +389,7 @@ def build_spectrum_from_files(
     batch_cfg = batch_cfg or default_batch_cfg(sizing)
     Lp = (batch_cfg.max_read_len + 7) // 8 * 8
     stream = native.packed_batches_from_files(
-        files, sizing.k, fmode, batch_cfg.reads_per_batch, Lp
+        files, sizing.k, fmode, batch_cfg.reads_per_batch, Lp,
+        n_threads=n_threads,
     )
     return build_spectrum(stream, sizing, batch_cfg=batch_cfg, **kw)

@@ -118,3 +118,21 @@ def test_roundtrip_no_reference(tmp_path, rng):
     np.testing.assert_array_equal(counts, c2)
     assert not t2.any()
     assert m.nelts == counts.sum() and m.ndistinct_elts == len(keys)
+
+
+@pytest.mark.parametrize("qb,hb", [(12, 17), (12, 22), (12, 24), (12, 36)])
+def test_roundtrip_generic_bits_per_slot(tmp_path, rng, qb, hb):
+    """bits_per_slot != 8 (hb != qb+8): generic LSB-first slot packing,
+    matching the reference's runtime get_slot/set_slot arithmetic
+    (gqf.c BITS_PER_SLOT==0 path)."""
+    keys = np.unique(rng.integers(0, 1 << hb, size=400).astype(np.uint64))
+    counts = rng.integers(1, 100_000, size=len(keys)).astype(np.int64)
+    trav = (rng.integers(0, 2, size=len(keys))).astype(np.uint8)
+    path = str(tmp_path / "g.ser")
+    m = cqf_ser.write_ser(path, keys, counts, qb=qb, key_bits=hb,
+                          traveled=trav)
+    assert m.bits_per_slot == hb - qb
+    m2, k2, c2, t2 = cqf_ser.read_ser(path)
+    np.testing.assert_array_equal(keys, k2)
+    np.testing.assert_array_equal(counts, c2)
+    np.testing.assert_array_equal(trav, t2)
