@@ -148,8 +148,13 @@ def main() -> int:
         f"{n_loaded/C:.2f} ({time.time()-t_all:.0f}s incl compiles)")
 
     # ---- primary: steady-state fused counting ----------------------------
+    # HONEST timing: the window must contain full buffer-fill cycles (sort +
+    # merge), not just hash/append.  One merge fires per ~BC keys; run
+    # enough supersteps for >= 2 merges and require them in-window.
     threshold = jnp.asarray(1 << 62, jnp.int64)
     rl = jnp.asarray(0, jnp.int32)
+    keys_per_super = S * windows
+    n_supers = int(2.2 * BC / keys_per_super) + 1
 
     def run_once(spec, rl, supers):
         m_total = 0
@@ -160,27 +165,29 @@ def main() -> int:
         jax.block_until_ready(spec.hi)
         return spec, rl, m_total
 
-    supers = [make_super() for _ in range(16)]
+    supers = [make_super() for _ in range(n_supers)]
     spec, rl, _ = run_once(spec, rl, supers[:1])  # compile + warm
     t0 = time.time()
     spec, rl, merges = run_once(spec, rl, supers)
     dt = time.time() - t0
-    kmers = len(supers) * S * windows
+    kmers = len(supers) * keys_per_super
     rate = kmers / dt
     log(f"# primary(qb={qb}, {int(spec.ndistinct)/1e6:.0f}M distinct): "
         f"{rate/1e6:.1f}M kmers/s ({kmers} in {dt:.2f}s, {merges} merges)")
+    if merges < 2:
+        log("# WARNING: <2 merges in the timed window; rate not steady-state")
     del supers
 
-    # ---- roofline + bit identity at the SAME geometry --------------------
+    # ---- phase split + roofline at the SAME geometry ---------------------
     try:
-        from sh_assembly_tpu.ops import merge_pallas as mp
-
-        specr = sp.insert(spec, rand_keys(7))
-        sortfn = jax.jit(lambda x: jax.lax.sort(
-            mp.kernel_pack_buf(x, key_bits)))
-        _ = jax.block_until_ready(sortfn(specr.buf_keys))
+        specr = spec._replace(n_buf=jnp.zeros((), jnp.int64))
+        specr = sp.insert(specr, rand_keys(7))
+        sortfn = jax.jit(sp.sort_pack_buf, static_argnames=("key_bits",))
+        _ = jax.block_until_ready(sortfn(specr.buf_hi, specr.buf_lo,
+                                         key_bits=key_bits))
         t0 = time.time()
-        _ = jax.block_until_ready(sortfn(specr.buf_keys))
+        _ = jax.block_until_ready(sortfn(specr.buf_hi, specr.buf_lo,
+                                         key_bits=key_bits))
         t_sort = time.time() - t0
 
         mergefn = (sp._merge_kernel_path if sp._pallas_available()
@@ -195,25 +202,42 @@ def main() -> int:
         t_merge = time.time() - t0
         gb = 16 * (C + BC) / 1e9
         log(f"# roofline(C=2^{qb},BC=2^27): buf sort {t_sort*1e3:.0f}ms, "
-            f"full merge {t_merge*1e3:.0f}ms = {gb/t_merge:.0f} GB/s "
+            f"sort+merge {t_merge*1e3:.0f}ms = {gb/t_merge:.0f} GB/s "
             f"achieved vs {HBM_PEAK_GBPS:.0f} GB/s HBM peak "
             f"({100*gb/t_merge/HBM_PEAK_GBPS:.1f}%)")
+        del specr, out
+    except Exception as e:  # diagnostics; never kill the bench
+        log(f"# roofline skipped: {e!r}")
+    del spec
 
+    # ---- kernel-vs-XLA bit identity (small geometry: the XLA merge needs
+    # ~6x the planes in HBM transients and OOMs at qb=28) ------------------
+    try:
         if sp._pallas_available():
-            a = jfn(specr, key_bits=key_bits, drop_singletons=True)
-            bq = jax.jit(sp._merge_xla_path,
-                         static_argnames=("key_bits", "drop_singletons"))(
-                specr, key_bits=key_bits, drop_singletons=True)
+            qb2 = 24
+            kb2 = qb2 + 8
+            sp2 = sp.make(1 << qb2, 1 << 22)
+            kk = jax.random.key(11)
+            kr = jax.random.bits(kk, (1 << 22,), jnp.uint32).astype(
+                jnp.uint64) & jnp.uint64((1 << kb2) - 1)
+            sp2 = sp.insert(sp2, kr)
+            sp2 = sp.merge(sp2, kb2)  # kernel path
+            sp2 = sp.insert(sp2, kr[: 1 << 21])
+            a = jax.jit(sp._merge_kernel_path, static_argnames=(
+                "key_bits", "drop_singletons"))(
+                sp2, key_bits=kb2, drop_singletons=True)
+            bq = jax.jit(sp._merge_xla_path, static_argnames=(
+                "key_bits", "drop_singletons"))(
+                sp2, key_bits=kb2, drop_singletons=True)
             same = (np.array_equal(np.asarray(a.hi), np.asarray(bq.hi))
                     and np.array_equal(np.asarray(a.lo), np.asarray(bq.lo)))
-            log(f"# bit-identity kernel-vs-xla (merge+sweep): "
+            log(f"# bit-identity kernel-vs-xla (merge+sweep, qb={qb2}): "
                 f"{'OK' if same else 'MISMATCH'}")
             if not same:
                 raise RuntimeError("kernel/XLA merge mismatch")
-        del specr, out
-    except Exception as e:  # diagnostics; never kill the bench
-        log(f"# roofline/identity skipped: {e!r}")
-    del spec
+            del sp2, a, bq
+    except Exception as e:
+        log(f"# identity check skipped: {e!r}")
 
     if os.environ.get("SH_BENCH_FULL"):
         extended(k, baseline)

@@ -41,6 +41,9 @@ def make_parser() -> argparse.ArgumentParser:
                         " automatic); reference default 16")
     p.add_argument("-o", "--output", type=str, default="unitigs.fa",
                    help="output unitig fasta")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="build the graph over an N-device mesh (0 = single "
+                        "device, -1 = all visible devices)")
     return p
 
 
@@ -52,10 +55,6 @@ def main(argv: list[str] | None = None) -> int:
     meta, keys, counts, traveled = cqf_ser.read_ser(args.cqf)
     if meta.seed != cqf_ser.DEFAULT_SEED:
         log(f"[warn] unexpected CQF seed {meta.seed}")
-    capacity = 1 << max(int(len(keys)).bit_length(), 10)
-    spec = sp.from_host(keys, counts.astype("int64"), capacity,
-                        buf_capacity=1 << 10, key_bits=meta.key_bits,
-                        traveled=traveled)
     log(f"[CQF] {len(keys)} distinct keys, qb={meta.qb} hb={meta.key_bits}")
 
     params = cfg.ContigerParams(
@@ -79,8 +78,29 @@ def main(argv: list[str] | None = None) -> int:
     log("[Unitig] find unitigs")
     profiling.reset()
     with profiling.maybe_trace():
-        arrays = contiger.assemble_unitigs_arrays(spec, stream(), params,
-                                                  key_bits=meta.key_bits)
+        if args.mesh:
+            from .. import config as _cfg
+            from ..parallel import driver
+
+            sizing2 = _cfg.CounterSizing(
+                k=args.k, qb=meta.qb, hb=meta.key_bits, num_true_kmers=0,
+                num_false_kmers=0, n_true_kmers=max(len(keys), 1),
+                num_deNoise=0, ndistinct_for_deNoise=1 << 62,
+                end_deNoise=False, fr=0.0)
+            sc = driver.make_counter(
+                sizing2, None if args.mesh < 0 else args.mesh, batch_cfg)
+            spec_v = sc.from_host(keys, counts.astype("int64"),
+                                  traveled=traveled)
+            arrays = driver.contiger_sharded(
+                sc, spec_v, files, params, fmode=args.format,
+                batch_cfg=batch_cfg, n_threads=args.threads)
+        else:
+            capacity = 1 << max(int(len(keys)).bit_length(), 10)
+            spec = sp.from_host(keys, counts.astype("int64"), capacity,
+                                buf_capacity=1 << 10,
+                                key_bits=meta.key_bits, traveled=traveled)
+            arrays = contiger.assemble_unitigs_arrays(
+                spec, stream(), params, key_bits=meta.key_bits)
         log(f"Number of unitigs: {arrays.n}")
         log(f"Number of palindrome unitigs: {arrays.n_palindromes}")
         log(f"Total length of unitigs: {int(arrays.offsets[-1])}")

@@ -54,6 +54,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="file listing read file names")
     p.add_argument("-o", "--output", type=str, default="",
                    help="output .ser file name")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="count over an N-device mesh (key-range sharded; "
+                        "0 = single device, -1 = all visible devices)")
     return p
 
 
@@ -97,16 +100,35 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     profiling.reset()
     with profiling.maybe_trace():
-        spec, stats = counter.build_spectrum_from_files(
-            files, sizing, fmode=fmode, progress_every=200,
-            n_threads=args.threads,
-        )
-        with profiling.phase("count:serialize"):
-            keys, counts, traveled = sp.to_host(spec, sizing.hb)
-            cqf_ser.write_ser(
-                output, keys, counts, qb=sizing.qb, key_bits=sizing.hb,
-                nelts=stats.kmers, ndistinct=stats.distinct,
+        if args.mesh:
+            from ..parallel import driver
+
+            n_mesh = None if args.mesh < 0 else args.mesh
+            _, _, keys, counts, mstats = driver.count_sharded(
+                files, sizing, fmode=fmode, n_mesh=n_mesh,
+                n_threads=args.threads)
+
+            class stats:  # same fields the log line below reads
+                kmers = mstats["kmers"]
+                distinct = mstats["distinct"]
+                batches = 0
+                merges = 0
+                sweeps = mstats["sweeps"]
+            with profiling.phase("count:serialize"):
+                cqf_ser.write_ser(
+                    output, keys, counts, qb=sizing.qb, key_bits=sizing.hb,
+                    nelts=stats.kmers, ndistinct=stats.distinct)
+        else:
+            spec, stats = counter.build_spectrum_from_files(
+                files, sizing, fmode=fmode, progress_every=200,
+                n_threads=args.threads,
             )
+            with profiling.phase("count:serialize"):
+                keys, counts, traveled = sp.to_host(spec, sizing.hb)
+                cqf_ser.write_ser(
+                    output, keys, counts, qb=sizing.qb, key_bits=sizing.hb,
+                    nelts=stats.kmers, ndistinct=stats.distinct,
+                )
     log("Finished building K-mer spectrum!")
     log(f"Time for building K-mer spectrum: {time.time() - t0:.1f} seconds.")
     log(f"kmers={stats.kmers} distinct={stats.distinct} "

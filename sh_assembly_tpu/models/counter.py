@@ -36,14 +36,27 @@ from ..utils import profiling
 from ..utils.logging import log
 
 
+def _mask_key_planes(kh, kl, key_bits: int):
+    """key mod 2^key_bits on u32 planes (power-of-two range,
+    CQF_mt.h:636-671)."""
+    if key_bits > 32:
+        return kh & jnp.uint32((1 << (key_bits - 32)) - 1), kl
+    if key_bits == 32:
+        return jnp.zeros_like(kh), kl
+    return jnp.zeros_like(kh), kl & jnp.uint32((1 << key_bits) - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "key_bits"), donate_argnums=(0,))
 def count_batch(spec: sp.Spectrum, codes: jax.Array, lengths: jax.Array,
                 k: int, key_bits: int) -> sp.Spectrum:
-    """Hash every window of a batch and insert into the spectrum (fused)."""
-    keys, valid = nthash.windowed_canonical(codes, lengths, k)
-    keys = keys & jnp.uint64((1 << key_bits) - 1)  # mod range (power of two)
-    keys = jnp.where(valid, keys, sp.SENTINEL)
-    return sp.insert(spec, keys.reshape(-1))
+    """Hash every window of a batch and insert into the spectrum (fused).
+
+    u32-plane path end to end: TPU v5e has no native 64-bit vector unit,
+    and the emulated-u64 hash+append measured ~6 ns/key vs <1 for planes.
+    """
+    kh, kl, valid = nthash.windowed_canonical_planes(codes, lengths, k)
+    kh, kl = _mask_key_planes(kh, kl, key_bits)
+    return sp.insert_planes(spec, kh, kl, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("key_bits",), donate_argnums=(0,))
@@ -95,13 +108,12 @@ def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
     def body(carry, xs):
         s, rl, merges = carry
         bcodes, blengths = xs
-        keys, valid = nthash.windowed_canonical(bcodes, blengths, k)
-        keys = keys & jnp.uint64((1 << key_bits) - 1)
-        keys = jnp.where(valid, keys, sp.SENTINEL).reshape(-1)
-        need = s.n_buf + keys.shape[0] > BC
+        kh, kl, valid = nthash.windowed_canonical_planes(bcodes, blengths, k)
+        kh, kl = _mask_key_planes(kh, kl, key_bits)
+        need = s.n_buf + kh.size > BC
         s, rl, merges = jax.lax.cond(
             need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
-        s = sp.insert(s, keys)
+        s = sp.insert_planes(s, kh, kl, valid)
         return (s, rl, merges), ()
 
     init = (spec, rounds_left, jnp.zeros((), jnp.int32))
@@ -137,13 +149,12 @@ def count_scan_packed(spec: sp.Spectrum, rounds_left: jax.Array,
         s, rl, merges = carry
         bpacked, bnmask, blengths = xs
         bcodes = packio.unpack(bpacked, bnmask, L)
-        keys, valid = nthash.windowed_canonical(bcodes, blengths, k)
-        keys = keys & jnp.uint64((1 << key_bits) - 1)
-        keys = jnp.where(valid, keys, sp.SENTINEL).reshape(-1)
-        need = s.n_buf + keys.shape[0] > BC
+        kh, kl, valid = nthash.windowed_canonical_planes(bcodes, blengths, k)
+        kh, kl = _mask_key_planes(kh, kl, key_bits)
+        need = s.n_buf + kh.size > BC
         s, rl, merges = jax.lax.cond(
             need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
-        s = sp.insert(s, keys)
+        s = sp.insert_planes(s, kh, kl, valid)
         return (s, rl, merges), ()
 
     init = (spec, rounds_left, jnp.zeros((), jnp.int32))

@@ -40,9 +40,15 @@ so lexicographic (hi, lo) order == key order, the hi plane is pure key
 bits, and the payload never straddles the 32-bit boundary.  SENTINEL is
 hi = lo = 0xffffffff (count caps keep any real entry strictly below it).
 
-Ties between main and buf elements break buf-first so that trailing
-SENTINEL padding is consumed from the buf side, bounding the main-side
-read window.
+Buffered occurrences arrive with a ZERO count field (the count-0
+convention, ops/spectrum module docstring): a buf entry sorts strictly
+before the same key's main entry (main counts are >= 1), so the merge
+network needs no source-tag plane — "from the buffer" is derived after the
+merge as count==0, and the effective count of such an entry is 1.
+Consumption accounting attributes SENTINEL padding to the main side; that
+is safe because a sentinel is only ever consumed after every real element
+of both current windows (sentinels sort last), at which point both side
+pointers may advance into their padding freely.
 """
 
 from __future__ import annotations
@@ -139,17 +145,14 @@ def _minu(a, b):
     return jnp.where(a < b, a, b)
 
 
-def _le3(ah, al, at, bh, bl, bt):
-    """Lexicographic (hi, lo, tag) <= — a total enough order for the merge."""
-    return (
-        (ah < bh)
-        | ((ah == bh) & (al < bl))
-        | ((ah == bh) & (al == bl) & (at <= bt))
-    )
+def _le2(ah, al, bh, bl):
+    """Lexicographic (hi, lo) <= — total order (ties need no break: equal
+    (hi, lo) pairs are interchangeable under the count-0 convention)."""
+    return (ah < bh) | ((ah == bh) & (al <= bl))
 
 
-def _bitonic_merge(h, l, t, length):
-    """Fully sort a bitonic (asc ++ desc) triple-plane sequence of `length`.
+def _bitonic_merge(h, l, length):
+    """Fully sort a bitonic (asc ++ desc) two-plane sequence of `length`.
 
     Standard bitonic merge network: log2(length) compare-exchange stages at
     distances length/2 .. 1, all implemented as flat shifts + selects.
@@ -160,43 +163,51 @@ def _bitonic_merge(h, l, t, length):
     while d >= 1:
         yh = _shift_up(h, d, FULL)
         yl = _shift_up(l, d, FULL)
-        yt = _shift_up(t, d, FULL)
-        le = _le3(h, l, t, yh, yl, yt)
+        le = _le2(h, l, yh, yl)
         mnh = jnp.where(le, h, yh)
         mnl = jnp.where(le, l, yl)
-        mnt = jnp.where(le, t, yt)
         mxh = jnp.where(le, yh, h)
         mxl = jnp.where(le, yl, l)
-        mxt = jnp.where(le, yt, t)
         lower = (idx & d) == 0
         h = jnp.where(lower, mnh, _shift_down(mxh, d, FULL))
         l = jnp.where(lower, mnl, _shift_down(mxl, d, FULL))
-        t = jnp.where(lower, mnt, _shift_down(mxt, d, FULL))
         d //= 2
-    return h, l, t
+    return h, l
 
 
-def _dyn_roll_down(planes, amount, nbits, fill):
-    """Flat roll-down (shift toward higher indices) by a traced amount
-    < 2**nbits, as `nbits` conditional static shifts."""
-    out = list(planes)
-    for b in range(nbits):
-        d = 1 << b
-        cond = ((amount >> b) & 1) == 1
-        shifted = [_shift_down(p, d, fill) for p in out]
-        out = [jnp.where(cond, s, p) for s, p in zip(shifted, out)]
+def _roll_shift_up(planes, amount, fill):
+    """Flat shift-up (y[i] = x[i+amount], tail filled) by a TRACED amount,
+    via two dynamic circular rolls + a lane select (pltpu.roll lowers to
+    the native dynamic-rotate; ~6 ops vs ~45 for the old conditional
+    static-shift ladder)."""
+    rows = planes[0].shape[0]
+    r = amount // jnp.int32(LANES)
+    c = amount % jnp.int32(LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    flat = _flat_idx(rows)
+    keep = flat < (jnp.int32(rows * LANES) - amount)
+    out = []
+    for p in planes:
+        u = pltpu.roll(pltpu.roll(p, -r, 0), -c, 1)
+        v = pltpu.roll(pltpu.roll(p, -(r + 1), 0), -c, 1)
+        y = jnp.where(lane < jnp.int32(LANES) - c, u, v)
+        out.append(jnp.where(keep, y, jnp.full_like(p, fill)))
     return out
 
 
-def _dyn_shift_up(planes, amount, nbits, fill):
-    """Flat shift-up (toward lower indices, fill at the tail) by a traced
-    amount < 2**nbits."""
-    out = list(planes)
-    for b in range(nbits):
-        d = 1 << b
-        cond = ((amount >> b) & 1) == 1
-        shifted = [_shift_up(p, d, fill) for p in out]
-        out = [jnp.where(cond, s, p) for s, p in zip(shifted, out)]
+def _roll_shift_down(planes, amount):
+    """Flat shift-down (y[i] = x[i-amount]) by a traced amount.  The head
+    (i < amount) receives circularly wrapped TAIL elements — callers must
+    either overwrite or guarantee the source tail is padding."""
+    rows = planes[0].shape[0]
+    r = amount // jnp.int32(LANES)
+    c = amount % jnp.int32(LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    out = []
+    for p in planes:
+        u = pltpu.roll(pltpu.roll(p, r, 0), c, 1)
+        v = pltpu.roll(pltpu.roll(p, r + 1, 0), c, 1)
+        out.append(jnp.where(lane >= c, u, v))
     return out
 
 
@@ -212,7 +223,6 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
     keylo_mask = (np.uint32(0) if cbits + 1 >= 32
                   else np.uint32(FULL ^ ((1 << (cbits + 1)) - 1)))
     trav_bit = np.uint32(1 << cbits)
-    roll_bits = max(1, int(np.log2(A)))  # frac_out < A
 
     def kernel(mh_ref, ml_ref, bh_ref, bl_ref,  # ANY (HBM) inputs
                oh_ref, ol_ref, meta_ref,  # ANY outputs
@@ -268,11 +278,10 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
         # the windows stay ascending (SENTINEL fills the tail).  frac can
         # exceed L-1 only at stream end under DMA clamping -> whole window
         # is stale: select all-SENTINEL.
-        shift_bits = int(np.log2(L))
         fi = jnp.minimum(frac_i, jnp.int32(L - 1))
         fj = jnp.minimum(frac_j, jnp.int32(L - 1))
-        ah, al = _dyn_shift_up((vmh[:, :], vml[:, :]), fi, shift_bits, FULL)
-        bh, bl = _dyn_shift_up((vbh[:, :], vbl[:, :]), fj, shift_bits, FULL)
+        ah, al = _roll_shift_up((vmh[:, :], vml[:, :]), fi, FULL)
+        bh, bl = _roll_shift_up((vbh[:, :], vbl[:, :]), fj, FULL)
         stale_i = frac_i >= jnp.int32(L)
         stale_j = frac_j >= jnp.int32(L)
         ah = jnp.where(stale_i, sent, ah)
@@ -294,26 +303,25 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
 
         @pl.when(~blk_skip)
         def _():
-            # source tags: buf=0, main=1 -> buf-first on exact ties
-            at = jnp.ones((Lr, LANES), U32)
-            bt = jnp.zeros((Lr, LANES), U32)
-
-            # reverse the buf window (flat) to form a bitonic sequence
+            # reverse the buf window (flat) to form a bitonic sequence; no
+            # source-tag plane: buf entries carry count==0 (< any main
+            # count), so equal (hi, lo) pairs are interchangeable and the
+            # source is derived after the merge
             rh = _reverse_flat(bh)
             rl = _reverse_flat(bl)
-            rt = bt  # constant plane; reverse is a no-op
             ch = jnp.concatenate([ah, rh], axis=0)
             cl = jnp.concatenate([al, rl], axis=0)
-            ct = jnp.concatenate([at, rt], axis=0)
-            ch, cl, ct = _bitonic_merge(ch, cl, ct, 2 * L)
+            ch, cl = _bitonic_merge(ch, cl, 2 * L)
 
             # consume the first T merged elements
             kh = ch[:Tr]
             kl = cl[:Tr]
-            kt = ct[:Tr]
 
             is_sent = (kh == sent) & (kl == sent)
-            cnt = jnp.where(is_sent, jnp.uint32(0), kl & cmask)
+            cnt_raw = jnp.where(is_sent, jnp.uint32(0), kl & cmask)
+            is_buf = (~is_sent) & (cnt_raw == jnp.uint32(0))
+            # effective count: count-0 entries are single buffered occurrences
+            cnt = cnt_raw + is_buf.astype(U32)
             trv = jnp.where(is_sent, jnp.uint32(0), (kl & trav_bit) >> cbits)
             klo_key = kl & keylo_mask
 
@@ -353,10 +361,11 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
                 sor = jnp.where(use, sor | s2, sor)
                 flag = flag | (valid & f2)
                 d *= 2
-            # main-side consumption: tree-fold reduction (was a full scan
-            # plane); jnp.sum lowers via int64 under x64 -> hand-rolled fold
-            red = jnp.where(kt == jnp.uint32(1), jnp.uint32(1),
-                            jnp.uint32(0))
+            # main-side consumption: tree-fold reduction; sentinels count
+            # as main (safe: a sentinel is only consumed once both windows'
+            # real elements are — see module docstring); jnp.sum lowers via
+            # int64 under x64 -> hand-rolled fold
+            red = jnp.where(~is_buf, jnp.uint32(1), jnp.uint32(0))
             dd = 1
             while dd < T:  # red[i] becomes sum over x[i .. i+2^k-1]
                 red = red + _shift_up(red, dd, np.uint32(0))
@@ -459,7 +468,9 @@ def _make_kernel(C_pad, BC_pad, OUT_pad, L, A, T, G, cbits, cap,
             padh = jnp.full((Ar, LANES), sent, U32)
             sh = jnp.concatenate([eh, padh], axis=0)
             sl = jnp.concatenate([el, padh], axis=0)
-            sh, sl = _dyn_roll_down((sh, sl), frac_out, roll_bits, FULL)
+            # circular roll-down: the head wrap pulls from the SENT pad
+            # (frac_out < A = pad size) and is overwritten by keep_prev
+            sh, sl = _roll_shift_down((sh, sl), frac_out)
             idxW = _flat_idx(Wr)
             keep_prev = idxW < frac_out
             th = jnp.concatenate(
@@ -604,11 +615,12 @@ def kernel_pack(keys, counts, trav, key_bits: int):
 
 
 def kernel_pack_buf(buf_keys, key_bits: int):
-    """Raw buffer keys (u64, SENTINEL holes) -> packed (count=1) u64 for a
-    single XLA sort before the kernel."""
+    """Raw buffer keys (u64, SENTINEL holes) -> packed count-0 u64 for a
+    single XLA sort before the kernel (one buffered occurrence each; the
+    kernel adds the implicit +1, see module docstring)."""
     kshift = 64 - key_bits
     sent64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-    packed = (buf_keys << jnp.uint64(kshift)) | jnp.uint64(1)
+    packed = buf_keys << jnp.uint64(kshift)
     return jnp.where(buf_keys == sent64, sent64, packed)
 
 

@@ -23,7 +23,17 @@ one v5e HBM (see CAPACITY.md).  The traveled bit is the GRAPH_TRAVERSE
 plane (gqf.c:3070-3165) carried inside the payload, costing nothing extra.
 
   * main store: hi/lo uint32[C], key-sorted ascending, SENTINEL tail.
-  * append buffer: raw uint64 canonical keys (count=1 each), unsorted.
+  * append buffer: hi/lo uint32[BC] PACKED entries with a count field of
+    ZERO (unsorted).  count==0 is the "one buffered occurrence" marker —
+    main entries always carry count >= 1, so (a) a buffered key sorts
+    strictly BEFORE the same key's main entry (the merge tie-break the
+    kernel needs), and (b) "is this element from the buffer" is derivable
+    from the entry itself, which lets the merge kernel drop its source-tag
+    plane.  Effective count of an entry = count + (count == 0).
+
+The buffer lives as u32 planes rather than u64 keys because TPU v5e has no
+native 64-bit vector unit — XLA's u64 emulation made the append path cost
+~6 ns/key (measured), ~100x the u32-plane cost.
 
 A batch insert is a pure append; when the buffer fills, a merge kernel
 sorts the buffer and streams it into main, segment-reducing duplicate keys.
@@ -55,7 +65,8 @@ class Spectrum(NamedTuple):
 
     hi: jax.Array  # uint32[C] packed-entry high plane; SENTINEL = all-ones
     lo: jax.Array  # uint32[C] packed-entry low plane
-    buf_keys: jax.Array  # uint64[BC] unsorted novel keys; SENTINEL = empty
+    buf_hi: jax.Array  # uint32[BC] packed count-0 entries; SENTINEL = empty
+    buf_lo: jax.Array  # uint32[BC]
     n_main: jax.Array  # int64[] live entries in main
     n_buf: jax.Array  # int64[] live entries in buffer
     ndistinct: jax.Array  # int64[] distinct keys (exact right after a merge)
@@ -67,14 +78,15 @@ class Spectrum(NamedTuple):
 
     @property
     def buf_capacity(self) -> int:
-        return self.buf_keys.shape[0]
+        return self.buf_hi.shape[0]
 
 
 def make(capacity: int, buf_capacity: int) -> Spectrum:
     return Spectrum(
         hi=jnp.full((capacity,), SENT32, dtype=jnp.uint32),
         lo=jnp.full((capacity,), SENT32, dtype=jnp.uint32),
-        buf_keys=jnp.full((buf_capacity,), SENTINEL, dtype=jnp.uint64),
+        buf_hi=jnp.full((buf_capacity,), SENT32, dtype=jnp.uint32),
+        buf_lo=jnp.full((buf_capacity,), SENT32, dtype=jnp.uint32),
         n_main=jnp.zeros((), dtype=jnp.int64),
         n_buf=jnp.zeros((), dtype=jnp.int64),
         ndistinct=jnp.zeros((), dtype=jnp.int64),
@@ -170,35 +182,55 @@ def _packed64(spec: Spectrum) -> jax.Array:
 
 
 @jax.jit
-def insert(spec: Spectrum, keys: jax.Array) -> Spectrum:
-    """Append a batch of canonical keys (SENTINEL entries are ignored).
+def insert_planes(spec: Spectrum, kh: jax.Array, kl: jax.Array,
+                  valid: jax.Array) -> Spectrum:
+    """Append canonical keys given as u32 planes (the hot path).
 
-    Log-structured design: occurrences are appended raw — NO random access
-    on the insert path at all (random HBM gathers are ~100x more expensive
-    than streaming/sort passes on TPU; see bench notes).  Duplicates
-    collapse at the next sort-merge.  The caller guarantees buffer headroom
-    >= len(keys) (see models/counter).
+    kh/kl = (key >> 32, key & 0xffffffff), already masked to key_bits by
+    the caller; invalid lanes become the SENTINEL pair.  Pure u32 ops —
+    TPU v5e has no native u64 vector unit and the emulated u64 append
+    measured ~6 ns/key vs ~0.02 for the planes.
+
+    Log-structured: occurrences are appended raw — NO random access on the
+    insert path.  Duplicates collapse at the next sort-merge.  The caller
+    guarantees buffer headroom >= len(kh) (see models/counter); the block
+    is appended as-is, SENTINEL padding included (the merge sorts padding
+    to the tail anyway), so n_buf advances by the full block size.
 
     ndistinct is exact only right after a merge (the reference tracks it
     per-insert via isNew, CQF_mt.h:640; ours advances at merge cadence —
     the deNoise trigger fires at the next merge after crossing, comparable
     to the reference's once-per-chunk check).
     """
-    keys = keys.reshape(-1)
-    B = keys.shape[0]
-    n_valid = jnp.sum(keys != SENTINEL, dtype=jnp.int64)
-    # The raw block is appended as-is, SENTINEL padding included — the
-    # merge sorts padding to the tail anyway, and skipping the compaction
-    # scatter keeps the hot path scatter-free (TPU scatters cost ~10-100x a
-    # streaming write).  n_buf therefore advances by the full block size.
-    buf_keys = jax.lax.dynamic_update_slice(
-        spec.buf_keys, keys, (spec.n_buf.astype(jnp.int32),)
-    )
+    kh = kh.reshape(-1)
+    kl = kl.reshape(-1)
+    valid = valid.reshape(-1)
+    B = kh.shape[0]
+    kh = jnp.where(valid, kh, SENT32)
+    kl = jnp.where(valid, kl, SENT32)
+    n_valid = jnp.sum(valid, dtype=jnp.int64)
+    off = spec.n_buf.astype(jnp.int32)
     return spec._replace(
-        buf_keys=buf_keys,
+        buf_hi=jax.lax.dynamic_update_slice(spec.buf_hi, kh, (off,)),
+        buf_lo=jax.lax.dynamic_update_slice(spec.buf_lo, kl, (off,)),
         n_buf=spec.n_buf + B,
         nelts=spec.nelts + n_valid,
     )
+
+
+@jax.jit
+def insert(spec: Spectrum, keys: jax.Array) -> Spectrum:
+    """Append a batch of canonical u64 keys (SENTINEL entries ignored).
+
+    Compatibility wrapper over insert_planes for callers holding u64 keys
+    (tests, the sharded path's routed exchanges).  Keys must be < 2^63
+    (masked to key_bits) so a real key can never alias the SENTINEL pair.
+    """
+    keys = keys.reshape(-1)
+    valid = keys != SENTINEL
+    kh = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    kl = keys.astype(jnp.uint32)
+    return insert_planes(spec, kh, kl, valid)
 
 
 def _pallas_available() -> bool:
@@ -213,6 +245,35 @@ def _pallas_available() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def sort_pack_buf(buf_hi: jax.Array, buf_lo: jax.Array, key_bits: int):
+    """Sort raw buffer key planes and pack as count-0 kernel planes.
+
+    Returns (bh, bl) u32 planes, key-sorted ascending with SENTINEL tail.
+    All arithmetic stays in u32 except the unavoidable sort comparisons.
+    """
+    BC = buf_hi.shape[0]
+    kshift = 64 - key_bits
+    sent = (buf_hi == SENT32) & (buf_lo == SENT32)
+    n_valid = jnp.sum(~sent, dtype=jnp.int32)
+    idxb = jnp.arange(BC, dtype=jnp.int32)
+    if key_bits <= 32:
+        # single-plane u32 sort (~30% cheaper than the pair sort); the
+        # sorted tail beyond n_valid is the SENTINEL holes (a max-key lo
+        # can only collide with the hole marker when key_bits == 32, and
+        # the n_valid cutoff disambiguates either way)
+        sk = jax.lax.sort(jnp.where(sent, SENT32, buf_lo))
+        live = idxb < n_valid
+        bh = jnp.where(live, sk << jnp.uint32(kshift - 32), SENT32)
+        bl = jnp.where(live, jnp.uint32(0), SENT32)
+    else:
+        sh, sl = jax.lax.sort((buf_hi, buf_lo), num_keys=2)
+        # pack key -> key << kshift | count(=0); all-ones input pairs pack
+        # to an all-ones hi automatically, fix the lo plane by n_valid
+        bh = (sh << jnp.uint32(kshift)) | (sl >> jnp.uint32(32 - kshift))
+        bl = jnp.where(idxb < n_valid, sl << jnp.uint32(kshift), SENT32)
+    return bh, bl
 
 
 def _merge_kernel_path(spec: Spectrum, key_bits: int,
@@ -231,24 +292,7 @@ def _merge_kernel_path(spec: Spectrum, key_bits: int,
     mh = jnp.concatenate([spec.hi, padm])
     ml = jnp.concatenate([spec.lo, padm])
 
-    if key_bits <= 32:
-        # u32 fast path: buf entries pack as hi = key << (kshift-32) with a
-        # constant lo = 1, so the routing sort only needs the hi plane
-        # (~35% cheaper than the u64 sort).  Hole-SENTINELs collide with a
-        # max-key hi only when key_bits == 32; the sorted tail beyond
-        # n_valid is the holes either way.
-        kshift = 64 - key_bits
-        n_valid = jnp.sum(spec.buf_keys != SENTINEL, dtype=jnp.int32)
-        k32 = jnp.where(
-            spec.buf_keys == SENTINEL, SENT32,
-            (spec.buf_keys << jnp.uint64(kshift - 32)).astype(jnp.uint32))
-        bh = jax.lax.sort(k32)
-        idxb = jnp.arange(BC, dtype=jnp.int32)
-        bl = jnp.where(idxb < n_valid, jnp.uint32(1), SENT32)
-    else:
-        pb = jax.lax.sort(mp.kernel_pack_buf(spec.buf_keys, key_bits))
-        bh = (pb >> jnp.uint64(32)).astype(jnp.uint32)
-        bl = (pb & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    bh, bl = sort_pack_buf(spec.buf_hi, spec.buf_lo, key_bits)
     padb = jnp.full((BC_pad - BC,), SENT32)
     bh = jnp.concatenate([bh, padb])
     bl = jnp.concatenate([bl, padb])
@@ -263,7 +307,8 @@ def _merge_kernel_path(spec: Spectrum, key_bits: int,
     return Spectrum(
         hi=hi,
         lo=lo,
-        buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64),
+        buf_hi=jnp.full((BC,), SENT32, dtype=jnp.uint32),
+        buf_lo=jnp.full((BC,), SENT32, dtype=jnp.uint32),
         n_main=n,
         n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n,
@@ -290,8 +335,10 @@ def _dedup_pack_sort(packed: jax.Array, key_bits: int, C: int,
     # re-expand sentinel slots to the full 64-bit all-ones key so they can
     # never share a run with a real max-key entry (key == 2^key_bits - 1)
     keys = jnp.where(sent, SENTINEL, packed >> jnp.uint64(kshift))
-    counts = jnp.where(sent, 0,
-                       packed & jnp.uint64((1 << cb) - 1)).astype(jnp.int64)
+    raw = (packed & jnp.uint64((1 << cb) - 1)).astype(jnp.int64)
+    # count-0 convention: a zero count field marks one buffered occurrence
+    # (main entries always carry >= 1), so effective count = raw + (raw==0)
+    counts = jnp.where(sent, 0, raw + (raw == 0))
     trav = jnp.where(sent, jnp.uint64(0),
                      (packed >> jnp.uint64(cb)) & jnp.uint64(1))
 
@@ -346,18 +393,20 @@ def _merge_xla_path(spec: Spectrum, key_bits: int,
     bit-identity test, tests/test_tpu_identity.py)."""
     C, BC = spec.capacity, spec.buf_capacity
     main = _packed64(spec)
+    bkeys = (spec.buf_hi.astype(jnp.uint64) << jnp.uint64(32)) | \
+        spec.buf_lo.astype(jnp.uint64)
+    sentb = (spec.buf_hi == SENT32) & (spec.buf_lo == SENT32)
+    # count-0 packing: buffered occurrences carry a zero count field
     buf = jnp.where(
-        spec.buf_keys == SENTINEL,
-        SENTINEL,
-        (spec.buf_keys << jnp.uint64(payload_bits(key_bits))) | jnp.uint64(1),
-    )
+        sentb, SENTINEL, bkeys << jnp.uint64(payload_bits(key_bits)))
     packed = jax.lax.sort(jnp.concatenate([main, buf]))
     hi, lo, n_main, n_dropped = _dedup_pack_sort(
         packed, key_bits, C, drop_singletons)
     return Spectrum(
         hi=hi,
         lo=lo,
-        buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64),
+        buf_hi=jnp.full((BC,), SENT32, dtype=jnp.uint32),
+        buf_lo=jnp.full((BC,), SENT32, dtype=jnp.uint32),
         n_main=n_main,
         n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n_main,
@@ -531,7 +580,8 @@ def union(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
                                     drop_singletons=False)
     return Spectrum(
         hi=hi, lo=lo,
-        buf_keys=jnp.full((BC,), SENTINEL, jnp.uint64),
+        buf_hi=jnp.full((BC,), SENT32, jnp.uint32),
+        buf_lo=jnp.full((BC,), SENT32, jnp.uint32),
         n_main=n, n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n, nelts=a.nelts + b.nelts,
     )
@@ -569,7 +619,8 @@ def intersect(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
     _, c2, _ = unpack_entries(hi, lo, key_bits)
     return Spectrum(
         hi=hi, lo=lo,
-        buf_keys=jnp.full((BC,), SENTINEL, jnp.uint64),
+        buf_hi=jnp.full((BC,), SENT32, jnp.uint32),
+        buf_lo=jnp.full((BC,), SENT32, jnp.uint32),
         n_main=n, n_buf=jnp.zeros((), jnp.int64),
         ndistinct=n, nelts=jnp.sum(c2.astype(jnp.int64)),
     )
@@ -628,10 +679,11 @@ def merge_sized(spec: Spectrum, key_bits: int, fill: int,
     M = BC // 16
     if fill > M or M < (1 << 16):
         return merge(spec, key_bits, drop_singletons)
-    small = spec._replace(buf_keys=spec.buf_keys[:M])
+    small = spec._replace(buf_hi=spec.buf_hi[:M], buf_lo=spec.buf_lo[:M])
     out = merge(small, key_bits, drop_singletons)
     return out._replace(
-        buf_keys=jnp.full((BC,), SENTINEL, dtype=jnp.uint64))
+        buf_hi=jnp.full((BC,), SENT32, dtype=jnp.uint32),
+        buf_lo=jnp.full((BC,), SENT32, dtype=jnp.uint32))
 
 
 def to_host(spec: Spectrum, key_bits: int):
@@ -663,7 +715,8 @@ def from_host(keys: np.ndarray, counts: np.ndarray, capacity: int,
     return Spectrum(
         hi=jnp.asarray((full >> np.uint64(32)).astype(np.uint32)),
         lo=jnp.asarray((full & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-        buf_keys=jnp.full((buf_capacity,), SENTINEL, dtype=jnp.uint64),
+        buf_hi=jnp.full((buf_capacity,), SENT32, dtype=jnp.uint32),
+        buf_lo=jnp.full((buf_capacity,), SENT32, dtype=jnp.uint32),
         n_main=jnp.asarray(n, jnp.int64),
         n_buf=jnp.zeros((), jnp.int64),
         ndistinct=jnp.asarray(n, jnp.int64),

@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -50,6 +51,41 @@ def partition_files(paths: list[str], process_index: int | None = None,
     if pc <= 1:
         return list(paths)
     return [p for i, p in enumerate(paths) if i % pc == pi]
+
+
+def coordinated_stream(local_batches, mesh: Mesh, make_empty):
+    """Wrap a process-local batch iterator so that EVERY process yields the
+    same number of batches: a host whose files run out keeps yielding
+    ``make_empty()`` batches until all hosts are done.
+
+    Collective programs require every participant to issue the same number
+    of steps — with round-robin file partitioning (partition_files), one
+    host's stream can end first and the others would deadlock in their next
+    all_to_all.  The agreement is one tiny psum per batch ("how many hosts
+    still have data"), negligible next to the batch itself.  Single-process
+    meshes skip the collective entirely.
+    """
+    it = iter(local_batches)
+    if jax.process_count() <= 1:
+        yield from it
+        return
+
+    s = NamedSharding(mesh, P("shard"))
+    n_local = jax.local_device_count()
+
+    @jax.jit
+    def global_alive(flags):
+        return jnp.sum(flags)
+
+    while True:
+        nxt = next(it, None)
+        flags = jax.make_array_from_process_local_data(
+            s, np.full(n_local, 0 if nxt is None else 1, np.int32),
+            (n_local * jax.process_count(),))
+        alive = int(global_alive(flags)) // n_local
+        if alive == 0:
+            return
+        yield make_empty() if nxt is None else nxt
 
 
 def shard_host_batch(mesh: Mesh, codes: np.ndarray, lengths: np.ndarray):

@@ -44,6 +44,12 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    n = len(devices)
+    if n & (n - 1):
+        raise ValueError(
+            f"mesh size {n} is not a power of two: key-range ownership is "
+            f"by top key bits (shard_bits = log2(n)), a non-power-of-two "
+            f"mesh would silently leave shards idle; pass n_devices=2^k")
     return Mesh(np.asarray(devices), ("shard",))
 
 
@@ -68,7 +74,8 @@ class ShardedCounter:
     def _spec_pspec(self):
         # every Spectrum leaf is sharded on axis 0 except the scalars
         return sp.Spectrum(
-            hi=P("shard"), lo=P("shard"), buf_keys=P("shard"),
+            hi=P("shard"), lo=P("shard"),
+            buf_hi=P("shard"), buf_lo=P("shard"),
             n_main=P("shard"), n_buf=P("shard"), ndistinct=P("shard"),
             nelts=P("shard"),
         )
@@ -269,6 +276,57 @@ class ShardedCounter:
             return int(nd[0]), int(ne[0])
 
         return run
+
+    def from_host(self, keys: np.ndarray, counts: np.ndarray,
+                  traveled: np.ndarray | None = None) -> sp.Spectrum:
+        """Build a key-range-sharded spectrum from global sorted host
+        arrays (the .ser load path of the mesh CLIs).  Shard s owns keys
+        whose top shard_bits equal s — the same ownership rule as
+        counting, so the concatenation of shards is the global sorted
+        spectrum."""
+        n, Cl = self.n_shards, self.local_capacity
+        kb = self.key_bits
+        keys = np.asarray(keys, np.uint64)
+        counts = np.asarray(counts, np.int64)
+        trav = (np.zeros(len(keys), np.uint8) if traveled is None
+                else np.asarray(traveled, np.uint8))
+        bounds = np.searchsorted(
+            keys, np.array([o << (kb - self.shard_bits) if self.shard_bits
+                            else (0 if o == 0 else 1 << kb)
+                            for o in range(n + 1)], np.uint64))
+        kshift = 64 - kb
+        cb = sp.cbits(kb)
+        cap = sp.count_cap(kb)
+        hi = np.full((n, Cl), 0xFFFFFFFF, np.uint32)
+        lo = np.full((n, Cl), 0xFFFFFFFF, np.uint32)
+        n_main = np.zeros(n, np.int64)
+        for s in range(n):
+            a, b = int(bounds[s]), int(bounds[s + 1])
+            m = b - a
+            if m > Cl:
+                raise ValueError(
+                    f"shard {s} needs {m} slots > local capacity {Cl}")
+            c = np.minimum(counts[a:b], cap).astype(np.uint64)
+            packed = (keys[a:b] << np.uint64(kshift)) | \
+                (trav[a:b].astype(np.uint64) << np.uint64(cb)) | c
+            hi[s, :m] = (packed >> np.uint64(32)).astype(np.uint32)
+            lo[s, :m] = (packed & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            n_main[s] = m
+        row = NamedSharding(self.mesh, P("shard"))
+        BCl = self.local_buf_capacity
+        return sp.Spectrum(
+            hi=jax.device_put(hi.reshape(-1), row),
+            lo=jax.device_put(lo.reshape(-1), row),
+            buf_hi=jax.device_put(
+                np.full(n * BCl, 0xFFFFFFFF, np.uint32), row),
+            buf_lo=jax.device_put(
+                np.full(n * BCl, 0xFFFFFFFF, np.uint32), row),
+            n_main=jax.device_put(n_main, row),
+            n_buf=jax.device_put(np.zeros(n, np.int64), row),
+            ndistinct=jax.device_put(n_main.copy(), row),
+            nelts=jax.device_put(
+                np.full(n, counts.sum() // max(n, 1), np.int64), row),
+        )
 
     def shard_batch(self, codes: np.ndarray, lengths: np.ndarray):
         """Place a host batch sharded by rows across the mesh."""

@@ -389,19 +389,26 @@ def assemble_unitigs_sharded(
     B = Lp = None
     dropped_total = 0
     for b in batches:
-        codes = b.codes
-        L = codes.shape[1]
-        Lp_b = (L + 7) // 8 * 8
+        if isinstance(b, fastq.PackedBatch):
+            # native transport format: already 2-bit packed + N-masked
+            packed, nmask, Lp_b, rows = b.packed, b.nmask, b.row_len, \
+                b.packed.shape[0]
+        else:
+            codes = b.codes
+            L = codes.shape[1]
+            Lp_b = (L + 7) // 8 * 8
+            if Lp_b != L:
+                codes = np.pad(codes, ((0, 0), (0, Lp_b - L)),
+                               constant_values=5)
+            packed, nmask = packio.pack_np(codes)
+            rows = codes.shape[0]
         if Lp is None:
-            Lp, B = Lp_b, codes.shape[0]
+            Lp, B = Lp_b, rows
             if B % n:
                 raise ValueError(f"batch rows {B} not divisible by mesh {n}")
             collect = st.collect_fn(B, Lp)
-        if Lp_b != Lp or codes.shape[0] != B:
+        if Lp_b != Lp or rows != B:
             raise ValueError("mixed batch geometry")
-        if Lp_b != L:
-            codes = np.pad(codes, ((0, 0), (0, Lp_b - L)), constant_values=5)
-        packed, nmask = packio.pack_np(codes)
         store_hi, store_lo, n_store_v, dropped_v = collect(
             spec_v, store_hi, store_lo,
             jax.device_put(packed, row_sh), jax.device_put(nmask, row_sh),
