@@ -59,25 +59,28 @@ NODE_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 # --------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "key_bits", "abundance_min", "L"),
-    donate_argnums=(1, 2))
-def _collect_super(spec: sp.Spectrum, store_hi, store_lo, packed, nmask,
-                   lengths, k: int, key_bits: int, abundance_min: int,
-                   L: int):
-    """Fold one superstep of read rows into the device node store.
+    jax.jit, static_argnames=("k", "key_bits", "L"),
+    donate_argnums=(0, 1, 2))
+def _stage_super(pend_hi, pend_lo, pend_key, n_pend, packed, nmask,
+                 lengths, k: int, key_bits: int, L: int):
+    """Stage one superstep of read rows into the pending candidate buffer.
 
-    The store holds the distinct solid canonical (hi, lo) packed k-mers
-    seen so far, pair-sorted ascending with SENTINEL tail.  One dispatch
-    per superstep; the only host sync is the final n_store transfer —
-    the reference instead re-streams reads through per-thread seed loops
-    (processDataChunk, src/contig_assembly.cpp:1839-1924).
+    Extracts every valid N-free window's canonical packed k-mer plus its
+    hash key, dedups within the superstep (cheap: one SB*W-element sort),
+    and appends the compacted survivors at offset n_pend.  No spectrum
+    access — the expensive count filter and store merge are deferred to
+    _flush_pending so the O(C)-element sorts amortize over many
+    supersteps (the reference instead pays a point query per window,
+    processDataChunk, src/contig_assembly.cpp:1839-1924).
+
+    Invariant: pending entries at index >= n_pend are SENTINEL (fresh
+    buffers start all-SENTINEL and every append rewrites its own tail).
     """
     codes = packio.unpack(packed, nmask, L)
     SB = codes.shape[0]
     W = L - k + 1
     keys, valid = nthash.windowed_canonical(codes, lengths, k)
     keys = keys & _U64((1 << key_bits) - 1)
-    counts = sp.query_join(spec, keys.reshape(-1), key_bits).reshape(SB, W)
 
     # windows containing any non-ACGT base are not graph nodes (the
     # reference skips N-containing seeds, contig_assembly.cpp:2068-2071)
@@ -85,20 +88,59 @@ def _collect_super(spec: sp.Spectrum, store_hi, store_lo, packed, nmask,
     cbad = jnp.cumsum(bad, axis=1)
     nfree = (cbad[:, k - 1 :] - jnp.concatenate(
         [jnp.zeros((SB, 1), jnp.int32), cbad[:, : W - 1]], axis=1)) == 0
-
-    solid = valid & nfree & (counts >= abundance_min)
+    ok = valid & nfree
 
     hi, lo = kp.pack_windows(codes, k)
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
     chi, clo, _ = kp.canonicalize(hi, lo, rhi, rlo)
 
-    flat = solid.reshape(-1)
+    flat = ok.reshape(-1)
     sent = _U64(NODE_SENTINEL)
     chi = jnp.where(flat, chi.reshape(-1), sent)
     clo = jnp.where(flat, clo.reshape(-1), sent)
+    ckey = jnp.where(flat, keys.reshape(-1), sent)
 
-    # merge + dedup: two-key sort groups exact (hi, lo) pairs; keep the
-    # first of each run, re-sort to compact the kills to the tail
+    # within-superstep dedup + compaction: sort by (hi, lo) pair (hash key
+    # rides along), keep the first of each run, re-sort kills to the tail
+    sh, sl, sk = jax.lax.sort((chi, clo, ckey), num_keys=2)
+    is_sent = (sh == sent) & (sl == sent)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
+    keep = first & ~is_sent
+    kh = jnp.where(keep, sh, sent)
+    kl = jnp.where(keep, sl, sent)
+    kk = jnp.where(keep, sk, sent)
+    oh, ol, okk = jax.lax.sort((kh, kl, kk), num_keys=2)
+    m = jnp.sum(keep, dtype=jnp.int64)
+
+    off = n_pend.astype(jnp.int32)
+    pend_hi = jax.lax.dynamic_update_slice(pend_hi, oh, (off,))
+    pend_lo = jax.lax.dynamic_update_slice(pend_lo, ol, (off,))
+    pend_key = jax.lax.dynamic_update_slice(pend_key, okk, (off,))
+    return pend_hi, pend_lo, pend_key, n_pend + m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("key_bits", "abundance_min"),
+    donate_argnums=(1, 2, 3, 4, 5))
+def _flush_pending(spec: sp.Spectrum, store_hi, store_lo,
+                   pend_hi, pend_lo, pend_key,
+                   key_bits: int, abundance_min: int):
+    """Count-filter the pending candidates once, merge the solid ones into
+    the sorted node store, and return cleared pending planes.
+
+    One query_join (sort of C + pend_cap) and two store sorts per flush —
+    amortized over the ~pend_cap/SB*W supersteps that filled the buffer,
+    vs the per-superstep full-spectrum sort of the round-2 design.
+    Cross-superstep duplicates inside pending are collapsed by the same
+    keep-first rule that dedups against the store.
+    """
+    counts = sp.query_join(spec, pend_key, key_bits)  # SENTINEL keys -> 0
+    solid = counts >= abundance_min
+    sent = _U64(NODE_SENTINEL)
+    chi = jnp.where(solid, pend_hi, sent)
+    clo = jnp.where(solid, pend_lo, sent)
+
     ah = jnp.concatenate([store_hi, chi])
     al = jnp.concatenate([store_lo, clo])
     sh, sl = jax.lax.sort((ah, al), num_keys=2)
@@ -111,49 +153,92 @@ def _collect_super(spec: sp.Spectrum, store_hi, store_lo, packed, nmask,
     oh, ol = jax.lax.sort((kh, kl), num_keys=2)
     cap = store_hi.shape[0]
     n_store = jnp.sum(keep, dtype=jnp.int64)
-    return oh[:cap], ol[:cap], n_store
+    return (oh[:cap], ol[:cap], n_store,
+            jnp.full_like(pend_hi, sent), jnp.full_like(pend_lo, sent),
+            jnp.full_like(pend_key, sent))
 
 
 def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
                   key_bits: int, abundance_min: int,
-                  super_batch: int = 8, node_cap: int | None = None):
+                  super_batch: int = 8, node_cap: int | None = None,
+                  pend_supers: int = 8):
     """Distinct solid canonical k-mers over all read batches -> sorted
-    (hi, lo) numpy arrays.  Device-resident dedup; one D2H at the end."""
+    (hi, lo) numpy arrays.  Device-resident dedup; one D2H at the end.
+
+    Supersteps stage candidate windows into a pending buffer sized for
+    ~pend_supers supersteps; the count filter (query_join, one O(C)-element
+    sort) and the node-store merge run once per buffer fill instead of once
+    per superstep — ~pend_supers x fewer full-spectrum sorts than the
+    round-2 design at identical output.
+    """
     if node_cap is None:
         # nodes are a subset of distinct solid hash keys, plus rare extra
         # k-mers aliased by hash collisions: ndistinct with 1/16 slack
         nd = max(int(spec.ndistinct), 1024)
         node_cap = 1 << int(np.ceil(np.log2(nd + nd // 16 + 1024)))
-    # query_join packs run ids into the spare payload bits; keep each
-    # superstep's query batch within that budget
+    # query_join packs run ids into the spare payload bits; the pending
+    # buffer (= one query batch) must stay within that budget
     p = sp.payload_bits(key_bits)
     max_rows_total = (1 << (p - 1)) // 2
 
     store_hi = jnp.full((node_cap,), _U64(NODE_SENTINEL))
     store_lo = jnp.full((node_cap,), _U64(NODE_SENTINEL))
     n_store = jnp.zeros((), jnp.int64)
-    # running device-side peak: a mid-run superstep can overflow (truncating
-    # the largest keys) and later supersteps can land back at or below cap,
+    # running device-side peak: a mid-run flush can overflow (truncating
+    # the largest keys) and later flushes can land back at or below cap,
     # so the *final* n_store alone cannot prove no truncation happened
     n_peak = jnp.zeros((), jnp.int64)
+
+    pend_hi = pend_lo = pend_key = None
+    pend_cap = 0
+    pend_upper = 0  # host-side upper bound on n_pend: no per-superstep sync
+    n_pend = jnp.zeros((), jnp.int64)
 
     stack_p, stack_m, stack_l = [], [], []
     rows = 0
     Lp = None
 
-    def flush():
+    def flush_pending():
         nonlocal store_hi, store_lo, n_store, n_peak
+        nonlocal pend_hi, pend_lo, pend_key, n_pend, pend_upper
+        store_hi, store_lo, n_store, pend_hi, pend_lo, pend_key = \
+            _flush_pending(spec, store_hi, store_lo,
+                           pend_hi, pend_lo, pend_key,
+                           key_bits, abundance_min)
+        n_peak = jnp.maximum(n_peak, n_store)
+        n_pend = jnp.zeros((), jnp.int64)
+        pend_upper = 0
+
+    def stage():
+        nonlocal pend_hi, pend_lo, pend_key, n_pend, pend_cap, pend_upper
         nonlocal stack_p, stack_m, stack_l, rows
         if not stack_p:
             return
         packed = np.concatenate(stack_p, axis=0)
         nmask = np.concatenate(stack_m, axis=0)
         lens = np.concatenate(stack_l, axis=0)
-        store_hi, store_lo, n_store = _collect_super(
-            spec, store_hi, store_lo, jnp.asarray(packed),
-            jnp.asarray(nmask), jnp.asarray(lens), k, key_bits,
-            abundance_min, Lp)
-        n_peak = jnp.maximum(n_peak, n_store)
+        nq = packed.shape[0] * (Lp - k + 1)
+        if pend_hi is not None and nq > pend_cap:
+            # a later superstep outgrew the first one's sizing: drain and
+            # reallocate (rare — only mixed batch_rows streams hit this)
+            flush_pending()
+            pend_hi = pend_lo = pend_key = None
+        if pend_hi is None:
+            pend_cap = 1 << int(np.ceil(np.log2(max(nq, 1024))))
+            while pend_cap < pend_supers * nq and pend_cap * 2 <= \
+                    max_rows_total:
+                pend_cap *= 2
+            pend_hi = jnp.full((pend_cap,), _U64(NODE_SENTINEL))
+            pend_lo = jnp.full((pend_cap,), _U64(NODE_SENTINEL))
+            pend_key = jnp.full((pend_cap,), _U64(NODE_SENTINEL))
+        # flush BEFORE staging when this superstep might not fit; pend_upper
+        # is a host-side worst case so no device sync is needed
+        if pend_upper + nq > pend_cap:
+            flush_pending()
+        pend_hi, pend_lo, pend_key, n_pend = _stage_super(
+            pend_hi, pend_lo, pend_key, n_pend, jnp.asarray(packed),
+            jnp.asarray(nmask), jnp.asarray(lens), k, key_bits, Lp)
+        pend_upper += nq
         stack_p, stack_m, stack_l = [], [], []
         rows = 0
 
@@ -179,17 +264,19 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
             raise ValueError(
                 f"one batch's {batch_rows * W} windows exceed the query_join "
                 f"budget {max_rows_total}; shrink reads_per_batch")
-        # flush BEFORE appending when the stacked windows would blow the
-        # query_join budget (appending first could exceed it by one batch)
+        # stage BEFORE appending when the stacked windows would blow the
+        # query budget (appending first could exceed it by one batch)
         if rows and (rows + batch_rows) * W > max_rows_total:
-            flush()
+            stage()
         stack_p.append(p_)
         stack_m.append(m_)
         stack_l.append(b.lengths)
         rows += batch_rows
         if rows >= super_batch * batch_rows:
-            flush()
-    flush()
+            stage()
+    stage()
+    if pend_hi is not None:
+        flush_pending()
 
     n = int(n_peak)
     if n >= node_cap:
