@@ -72,10 +72,12 @@ def _sweep(spec: sp.Spectrum, key_bits: int) -> sp.Spectrum:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "key_bits"), donate_argnums=(0,))
+    jax.jit, static_argnames=("k", "key_bits", "tight_denoise"),
+    donate_argnums=(0,))
 def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
                codes: jax.Array, lengths: jax.Array,
-               threshold: jax.Array, k: int, key_bits: int):
+               threshold: jax.Array, k: int, key_bits: int,
+               tight_denoise: bool = True):
     """One fused device program over a stack of S batches.
 
     Scans hash+append across the stack; when the log buffer would overflow,
@@ -111,6 +113,16 @@ def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
         kh, kl, valid = nthash.windowed_canonical_planes(bcodes, blengths, k)
         kh, kl = _mask_key_planes(kh, kl, key_bits)
         need = s.n_buf + kh.size > BC
+        # tighter deNoise cadence: when the buffered occurrences could
+        # push ndistinct over the trigger, merge early so the sweep fires
+        # within ~BC/4 of the crossing instead of up to one full buffer
+        # late (the reference checks every ~8 MB chunk, CQF_mt.h:858-875).
+        # The n_buf >= BC/4 guard caps the extra merge cost at 4x cadence,
+        # and only while hovering just under the threshold.
+        if tight_denoise:
+            near = (rl > 0) & (s.n_buf >= BC // 4) & \
+                (s.ndistinct + s.n_buf >= threshold)
+            need = need | near
         s, rl, merges = jax.lax.cond(
             need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
         s = sp.insert_planes(s, kh, kl, valid)
@@ -123,12 +135,13 @@ def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "key_bits", "max_read_len"),
+    jax.jit,
+    static_argnames=("k", "key_bits", "max_read_len", "tight_denoise"),
     donate_argnums=(0,))
 def count_scan_packed(spec: sp.Spectrum, rounds_left: jax.Array,
                       packed: jax.Array, nmask: jax.Array, lengths: jax.Array,
                       threshold: jax.Array, k: int, key_bits: int,
-                      max_read_len: int):
+                      max_read_len: int, tight_denoise: bool = True):
     """count_scan over a 2-bit-packed read stack (ops/packio): the host
     ships packed u8[S,B,L/4] + nmask u8[S,B,L/8] (4x less feed bandwidth)
     and each scan step unpacks on device before hashing."""
@@ -152,6 +165,11 @@ def count_scan_packed(spec: sp.Spectrum, rounds_left: jax.Array,
         kh, kl, valid = nthash.windowed_canonical_planes(bcodes, blengths, k)
         kh, kl = _mask_key_planes(kh, kl, key_bits)
         need = s.n_buf + kh.size > BC
+        # early merge near the deNoise trigger — see count_scan.body
+        if tight_denoise:
+            near = (rl > 0) & (s.n_buf >= BC // 4) & \
+                (s.ndistinct + s.n_buf >= threshold)
+            need = need | near
         s, rl, merges = jax.lax.cond(
             need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
         s = sp.insert_planes(s, kh, kl, valid)
@@ -232,12 +250,17 @@ def build_spectrum(
     batch_cfg: cfg.BatchConfig | None = None,
     progress_every: int = 0,
     super_batch: int = 8,
+    tight_denoise: bool = True,
 ) -> tuple[sp.Spectrum, BuildStats]:
     """Count canonical k-mers of a batch stream into a merged Spectrum.
 
     Host batches are stacked `super_batch` at a time and processed by one
     fused device program (count_scan) that appends, merges, and runs
     deNoise sweeps entirely on device.
+
+    tight_denoise=False restores the pure buffer-boundary sweep cadence
+    (used by cadence-characterization tests; production default is the
+    tighter near-threshold trigger, see count_scan.body).
     """
     batch_cfg = batch_cfg or cfg.BatchConfig()
     k, key_bits = sizing.k, sizing.qb + 8
@@ -288,9 +311,13 @@ def build_spectrum(
             spec, rounds_left, merges = count_scan_packed(
                 spec, rounds_left, jnp.asarray(stack_packed),
                 jnp.asarray(stack_nmask), jnp.asarray(stack_lengths),
-                threshold, k, key_bits, Lp)
+                threshold, k, key_bits, Lp, tight_denoise)
         merge_futures.append(merges)  # int() here would sync the pipeline
-        for _ in range(fill):  # mirror the in-scan merge cadence
+        # mirror the in-scan merge cadence; with tight_denoise the device
+        # may merge EARLIER than this mirror (data-dependent trigger), so
+        # host_nbuf is an upper bound on the true fill — merge_sized only
+        # uses it to pick a prefix, an overestimate just costs speed
+        for _ in range(fill):
             if host_nbuf + BW > buf_capacity:
                 host_nbuf = 0
             host_nbuf += BW

@@ -164,9 +164,12 @@ def test_triggered_denoise_round(rng):
             yield from batcher.add_read(r)
         yield from batcher.flush()
 
+    # tight_denoise=False: this oracle replays the exact buffer-boundary
+    # cadence (the production near-threshold early merge is characterized
+    # separately in test_denoise_cadence)
     spec, stats = counter.build_spectrum(
         stream(), sizing, capacity=1 << 14, buf_capacity=buf_capacity,
-        batch_cfg=bc,
+        batch_cfg=bc, tight_denoise=False,
     )
     assert stats.sweeps == 1
 

@@ -47,22 +47,25 @@ def _batches(reads, reads_per_batch, max_read_len=96):
     return out
 
 
-def _engine(reads, rounds, threshold, reads_per_batch, buf_capacity):
+def _engine(reads, rounds, threshold, reads_per_batch, buf_capacity,
+            tight=True, capacity=1 << 15):
     bc = cfg.BatchConfig(reads_per_batch=reads_per_batch, max_read_len=96)
     spec, stats = counter.build_spectrum(
         iter(_batches(reads, reads_per_batch)), _sizing(rounds, threshold),
-        capacity=1 << 15, buf_capacity=buf_capacity, batch_cfg=bc)
+        capacity=capacity, buf_capacity=buf_capacity, batch_cfg=bc,
+        tight_denoise=tight)
     return spec, stats
 
 
-def _per_chunk_sim(reads, rounds, threshold, reads_per_chunk):
+def _per_chunk_sim(reads, rounds, threshold, reads_per_chunk,
+                   capacity=1 << 15):
     """Reference cadence: merge + trigger check after EVERY chunk (the
     analogue of the reference's 8 MB read part)."""
     import jax.numpy as jnp
 
     from sh_assembly_tpu.ops import nthash
 
-    spec = sp.make(1 << 15, 1 << 15)
+    spec = sp.make(capacity, 1 << 15)
     rounds_left = rounds
     sweeps = 0
     for b in _batches(reads, reads_per_chunk):
@@ -95,8 +98,11 @@ def test_exact_match_on_aligned_boundaries(rng):
     ref_spec, _ = _engine(reads, 0, 1 << 62, 64, 2 * 64 * 76)
     threshold = int(ref_spec.ndistinct) // 2
     # 64 reads x 76 window-slots = 4864 keys/batch; a 9728-key buffer
-    # merges after every SECOND batch -> cadence == 128-read chunks
-    eng, stats = _engine(reads, ROUNDS, threshold, 64, 2 * 64 * 76)
+    # merges after every SECOND batch -> cadence == 128-read chunks.
+    # tight=False pins the pure buffer-boundary cadence this test aligns
+    # (the production near-threshold early merge would fire mid-chunk)
+    eng, stats = _engine(reads, ROUNDS, threshold, 64, 2 * 64 * 76,
+                         tight=False)
     sim, sim_sweeps = _per_chunk_sim(reads, ROUNDS, threshold, 128)
     assert stats.sweeps == sim_sweeps > 0
     assert _counts(eng) == _counts(sim)
@@ -138,3 +144,38 @@ def test_realistic_buffer_divergence_characterized(rng):
     solid_s = {k for k, v in cs.items() if v >= 2}
     drift = len(solid_e ^ solid_s) / max(len(solid_e | solid_s), 1)
     assert drift < 0.02, f"solid-set drift {drift:.3f}"
+
+
+def test_flagship_proportional_ratio(rng):
+    """VERDICT r2 #7: the flagship geometry has BC=2^27 raw keys against a
+    ~310M-distinct deNoise threshold — insertion lag ~0.43 of the threshold
+    per sweep, far coarser than the toy ratios above.  Reproduce that RATIO
+    at test scale and assert the production tight_denoise trigger (early
+    merge once ndistinct + n_buf could cross, counter.count_scan.body)
+    keeps the count-bearing spectrum within an explicit 2% drift bound of
+    the reference's per-chunk cadence (CQF_mt.h:858-875)."""
+    genome = random_genome(rng, 3000)
+    reads = reads_from_genome(rng, genome, 2500, 80, error_rate=0.03)
+    CAP = 1 << 17
+    ref_spec, _ = _engine(reads, 0, 1 << 62, 16, 1 << 12, capacity=CAP)
+    total_distinct = int(ref_spec.ndistinct)
+    BC = 1 << 12
+    threshold = int(BC / 0.43)  # flagship lag ratio: BC/threshold = 0.43
+    assert threshold < total_distinct // 2, "workload too small for ratio"
+
+    eng, stats = _engine(reads, ROUNDS, threshold, 16, BC, capacity=CAP)
+    sim, sim_sweeps = _per_chunk_sim(reads, ROUNDS, threshold, 16,
+                                     capacity=CAP)
+    assert stats.sweeps == sim_sweeps > 0
+
+    ce, cs = _counts(eng), _counts(sim)
+    # symmetric-difference keys are bounded-singleton artifacts, exactly as
+    # in the characterized test above
+    for key in set(ce) ^ set(cs):
+        assert max(ce.get(key, 0), cs.get(key, 0)) <= ROUNDS
+    for key in set(ce) & set(cs):
+        assert abs(ce[key] - cs[key]) <= ROUNDS
+    solid_e = {k for k, v in ce.items() if v >= 2}
+    solid_s = {k for k, v in cs.items() if v >= 2}
+    drift = len(solid_e ^ solid_s) / max(len(solid_e | solid_s), 1)
+    assert drift < 0.02, f"solid-set drift {drift:.3f} at flagship ratio"
