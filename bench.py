@@ -181,8 +181,28 @@ def main() -> int:
         log("# WARNING: <2 merges in the timed window; rate not steady-state")
     del supers
 
+    # Emit the primary metric NOW: the diagnostic sections below compile
+    # fresh programs (minutes on a cold axon cache) and must never cost the
+    # driver the headline number if its timeout strikes first.
+    print(json.dumps({
+        "metric": "kmers_counted_per_sec_per_chip_k47_loaded",
+        "value": round(rate),
+        "unit": "kmers/s",
+        "vs_baseline": round(rate / baseline, 3),
+    }), flush=True)
+    log(f"# baseline source: {baseline_src}")
+
+    # Wall-clock budget for the optional sections (compiles dominate on a
+    # cold cache; each section is skipped once the deadline passes).
+    deadline = t_all + float(os.environ.get("SH_BENCH_DEADLINE", "420"))
+
+    def time_left(need: float) -> bool:
+        return (deadline - time.time()) > need
+
     # ---- phase split + roofline at the SAME geometry ---------------------
     try:
+        if not time_left(60):
+            raise RuntimeError("bench deadline")
         specr = spec._replace(n_buf=jnp.zeros((), jnp.int64))
         specr = sp.insert(specr, rand_keys(7))
         sortfn = jax.jit(sp.sort_pack_buf, static_argnames=("key_bits",))
@@ -216,6 +236,8 @@ def main() -> int:
     # ---- kernel-vs-XLA bit identity (small geometry: the XLA merge needs
     # ~6x the planes in HBM transients and OOMs at qb=28) ------------------
     try:
+        if not time_left(90):
+            raise RuntimeError("bench deadline")
         if sp._pallas_available():
             qb2 = 24
             kb2 = qb2 + 8
@@ -246,6 +268,8 @@ def main() -> int:
     # VERDICT r2 #4: windows/s for node collection and the probe/contract
     # phases must be measured by default, not hidden behind SH_BENCH_FULL.
     try:
+        if not time_left(180):
+            raise RuntimeError("bench deadline")
         from sh_assembly_tpu.io import fastq as fq
         from sh_assembly_tpu.models import contiger
         from sh_assembly_tpu.ops import nthash
@@ -314,14 +338,7 @@ def main() -> int:
     if os.environ.get("SH_BENCH_FULL"):
         extended(k, baseline)
 
-    print(json.dumps({
-        "metric": "kmers_counted_per_sec_per_chip_k47_loaded",
-        "value": round(rate),
-        "unit": "kmers/s",
-        "vs_baseline": round(rate / baseline, 3),
-    }))
-    log(f"# baseline source: {baseline_src}; "
-        f"total bench time {time.time()-t_all:.0f}s")
+    log(f"# total bench time {time.time()-t_all:.0f}s")
     return 0
 
 

@@ -102,7 +102,7 @@ def _stage_super(pend_hi, pend_lo, pend_key, n_pend, packed, nmask,
 
     # within-superstep dedup + compaction: sort by (hi, lo) pair (hash key
     # rides along), keep the first of each run, re-sort kills to the tail
-    sh, sl, sk = jax.lax.sort((chi, clo, ckey), num_keys=2)
+    sh, sl, sk = sp.xsort((chi, clo, ckey), num_keys=2)
     is_sent = (sh == sent) & (sl == sent)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
@@ -110,7 +110,7 @@ def _stage_super(pend_hi, pend_lo, pend_key, n_pend, packed, nmask,
     kh = jnp.where(keep, sh, sent)
     kl = jnp.where(keep, sl, sent)
     kk = jnp.where(keep, sk, sent)
-    oh, ol, okk = jax.lax.sort((kh, kl, kk), num_keys=2)
+    oh, ol, okk = sp.xsort((kh, kl, kk), num_keys=2)
     m = jnp.sum(keep, dtype=jnp.int64)
 
     off = n_pend.astype(jnp.int32)
@@ -143,14 +143,14 @@ def _flush_pending(spec: sp.Spectrum, store_hi, store_lo,
 
     ah = jnp.concatenate([store_hi, chi])
     al = jnp.concatenate([store_lo, clo])
-    sh, sl = jax.lax.sort((ah, al), num_keys=2)
+    sh, sl = sp.xsort((ah, al), num_keys=2)
     is_sent = (sh == sent) & (sl == sent)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
     keep = first & ~is_sent
     kh = jnp.where(keep, sh, sent)
     kl = jnp.where(keep, sl, sent)
-    oh, ol = jax.lax.sort((kh, kl), num_keys=2)
+    oh, ol = sp.xsort((kh, kl), num_keys=2)
     cap = store_hi.shape[0]
     n_store = jnp.sum(keep, dtype=jnp.int64)
     return (oh[:cap], ol[:cap], n_store,

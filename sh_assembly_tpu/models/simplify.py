@@ -119,8 +119,18 @@ class SimpleGraph:
             if not self.alive[i]:
                 continue
             d0, d1 = self.degree(i, 0), self.degree(i, 1)
-            if (d0 == 0) == (d1 == 0):
-                continue  # not a tip (isolated or internal)
+            if d0 == 0 and d1 == 0:
+                # isolated short unitigs are doubly-dead-end tips: typically
+                # repeated-error k-mers (count >= 2 survives deNoise) whose
+                # single-count neighbors were purged, leaving orphan nodes.
+                # Only the topological rule can apply — there is no junction
+                # for the RCTC comparison.
+                if self.nkmers(i) <= topo_max:
+                    self.remove(i)
+                    removed += 1
+                continue
+            if d0 > 0 and d1 > 0:
+                continue  # internal node, not a tip
             nk = self.nkmers(i)
             if nk > rctc_max:
                 continue

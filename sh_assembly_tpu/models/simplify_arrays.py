@@ -186,7 +186,12 @@ class ArrayGraph:
         nk = self._nkmers()
         topo_max = TIP_TOPO_KMULT * self.k
         rctc_max = TIP_RCTC_KMULT * self.k
-        tip = self.alive & ((d0 == 0) != (d1 == 0)) & (nk <= rctc_max)
+        # ((d0==0) | (d1==0)) includes ISOLATED nodes (both ends dead):
+        # orphaned repeated-error k-mers whose neighbors were deNoised away.
+        # They have no anchor edges, so has_sib stays False and only the
+        # topological short-tip rule below can remove them — mirroring
+        # simplify.SimpleGraph.clip_tips.
+        tip = self.alive & ((d0 == 0) | (d1 == 0)) & (nk <= rctc_max)
         if not tip.any():
             return 0
         is_simple = nk <= topo_max

@@ -183,7 +183,8 @@ def join2(table_hi: jax.Array, table_lo: jax.Array,
                             (tag_q << SHIFT) | pay_q])
     h = jnp.concatenate([table_hi, qhi])
     l = jnp.concatenate([table_lo, qlo])
-    sh, sl, so = jax.lax.sort((h, l, ordv), num_keys=3)
+    from . import spectrum as _sp
+    sh, sl, so = _sp.xsort((h, l, ordv), num_keys=3)
 
     is_node = (so >> SHIFT) == 0
     payload = so & ((jnp.uint64(1) << SHIFT) - jnp.uint64(1))
@@ -200,7 +201,8 @@ def join2(table_hi: jax.Array, table_lo: jax.Array,
         is_node,
         jnp.uint64(0xFFFFFFFFFFFFFFFF),
         (payload << jnp.uint64(B)) | match)
-    back = jax.lax.sort(out)[:Q]
+    from . import spectrum as _sp
+    back = _sp.xsort(out)[:Q]
     m = (back & ((jnp.uint64(1) << jnp.uint64(B)) - jnp.uint64(1))).astype(jnp.int32)
     return m - 1
 

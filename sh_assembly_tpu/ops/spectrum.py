@@ -59,6 +59,62 @@ import numpy as np
 SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 SENT32 = jnp.uint32(0xFFFFFFFF)
 
+_HOST_SORT: bool | None = None
+
+
+def _host_sort_enabled() -> bool:
+    """On the CPU backend, route lax.sort through a numpy host callback.
+
+    XLA:CPU compiles a fresh SIZE-DEPENDENT sort program per shape
+    (measured: 35-120 s per compile at 2^22+ elements on this host) and its
+    persistent-cache entries fail the machine-feature check on reload
+    (+prefer-no-scatter pseudo-feature mismatch), so every process pays the
+    compiles again.  numpy sorts the same arrays in well under a second
+    with zero compile cost.  TPU backends are unaffected (their sorts
+    compile in seconds and run on device).  Override: SH_ASSEMBLY_HOST_SORT
+    =0/1 forces the choice.
+    """
+    global _HOST_SORT
+    if _HOST_SORT is None:
+        import os
+
+        env = os.environ.get("SH_ASSEMBLY_HOST_SORT")
+        if env is not None:
+            _HOST_SORT = env != "0"
+        else:
+            try:
+                _HOST_SORT = jax.default_backend() == "cpu"
+            except Exception:
+                _HOST_SORT = False
+    return _HOST_SORT
+
+
+def xsort(operands, num_keys: int = 1):
+    """jax.lax.sort with a CPU-backend numpy fast path (see
+    _host_sort_enabled).  Accepts a single array or a tuple of arrays
+    (first `num_keys` operands are the lexicographic sort key), mirroring
+    lax.sort's interface and its stable-sort semantics."""
+    if isinstance(operands, (tuple, list)):
+        ops = tuple(operands)
+        if not _host_sort_enabled():
+            return jax.lax.sort(ops, num_keys=num_keys)
+
+        def cb(*arrs):
+            if num_keys == 1:
+                perm = np.argsort(arrs[0], kind="stable")
+            else:
+                # np.lexsort: LAST key is primary -> reverse; stable
+                perm = np.lexsort(tuple(arrs[:num_keys])[::-1])
+            return tuple(np.ascontiguousarray(a[perm]) for a in arrs)
+
+        shapes = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in ops)
+        return jax.pure_callback(cb, shapes, *ops, vmap_method="sequential")
+    if not _host_sort_enabled():
+        return jax.lax.sort(operands)
+    return jax.pure_callback(
+        np.sort, jax.ShapeDtypeStruct(operands.shape, operands.dtype),
+        operands, vmap_method="sequential")
+
 
 class Spectrum(NamedTuple):
     """Device-resident k-mer spectrum (a pytree; all leaves static-shaped)."""
@@ -263,12 +319,12 @@ def sort_pack_buf(buf_hi: jax.Array, buf_lo: jax.Array, key_bits: int):
         # sorted tail beyond n_valid is the SENTINEL holes (a max-key lo
         # can only collide with the hole marker when key_bits == 32, and
         # the n_valid cutoff disambiguates either way)
-        sk = jax.lax.sort(jnp.where(sent, SENT32, buf_lo))
+        sk = xsort(jnp.where(sent, SENT32, buf_lo))
         live = idxb < n_valid
         bh = jnp.where(live, sk << jnp.uint32(kshift - 32), SENT32)
         bl = jnp.where(live, jnp.uint32(0), SENT32)
     else:
-        sh, sl = jax.lax.sort((buf_hi, buf_lo), num_keys=2)
+        sh, sl = xsort((buf_hi, buf_lo), num_keys=2)
         # pack key -> key << kshift | count(=0); all-ones input pairs pack
         # to an all-ones hi automatically, fix the lo plane by n_valid
         bh = (sh << jnp.uint32(kshift)) | (sl >> jnp.uint32(32 - kshift))
@@ -360,7 +416,7 @@ def _dedup_pack_sort(packed: jax.Array, key_bits: int, C: int,
         (keys << jnp.uint64(kshift)) | (trav << jnp.uint64(cb)) | tot_c,
         SENTINEL,
     )
-    packed2 = jax.lax.sort(survivors)[:C]
+    packed2 = xsort(survivors)[:C]
     hi = (packed2 >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (packed2 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     n_main = jnp.sum(keep, dtype=jnp.int64)
@@ -399,7 +455,7 @@ def _merge_xla_path(spec: Spectrum, key_bits: int,
     # count-0 packing: buffered occurrences carry a zero count field
     buf = jnp.where(
         sentb, SENTINEL, bkeys << jnp.uint64(payload_bits(key_bits)))
-    packed = jax.lax.sort(jnp.concatenate([main, buf]))
+    packed = xsort(jnp.concatenate([main, buf]))
     hi, lo, n_main, n_dropped = _dedup_pack_sort(
         packed, key_bits, C, drop_singletons)
     return Spectrum(
@@ -429,7 +485,7 @@ def sweep(spec: Spectrum, key_bits: int) -> Spectrum:
     keep = real & (counts >= 2)
     n_dropped = jnp.sum(real & ~keep, dtype=jnp.int64)
     packed = jnp.where(keep, packed, SENTINEL)
-    out = jax.lax.sort(packed)
+    out = xsort(packed)
     hi = (out >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     n = jnp.sum(keep, dtype=jnp.int64)
@@ -510,7 +566,7 @@ def query_join(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
     idx = jnp.arange(Nq, dtype=jnp.uint64)
     q_packed = (qkeys << jnp.uint64(p)) | half | idx
 
-    merged = jax.lax.sort(jnp.concatenate([spec_packed, q_packed]))
+    merged = xsort(jnp.concatenate([spec_packed, q_packed]))
     mkeys = merged >> jnp.uint64(p)
     is_q = (merged & half) != 0
     first = jnp.concatenate([jnp.ones((1,), bool), mkeys[1:] != mkeys[:-1]])
@@ -526,7 +582,7 @@ def query_join(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
         | jnp.minimum(count_here, jnp.uint64(0x7FFFFFFF)),
         SENTINEL,
     )
-    back = jax.lax.sort(out32)[:Nq]
+    back = xsort(out32)[:Nq]
     counts = (back & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
     return jnp.where(valid, counts, 0)
 
@@ -575,7 +631,7 @@ def union(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
     merged spectra, summing counts of shared keys.  Result uses a's
     capacities (check_overflow applies)."""
     C, BC = a.capacity, a.buf_capacity
-    packed = jax.lax.sort(jnp.concatenate([_packed64(a), _packed64(b)]))
+    packed = xsort(jnp.concatenate([_packed64(a), _packed64(b)]))
     hi, lo, n, _ = _dedup_pack_sort(packed, key_bits, C,
                                     drop_singletons=False)
     return Spectrum(
@@ -612,7 +668,7 @@ def intersect(a: Spectrum, b: Spectrum, key_bits: int) -> Spectrum:
         keep,
         (hi_k.astype(jnp.uint64) << jnp.uint64(32)) | lo_k.astype(jnp.uint64),
         SENTINEL)
-    out = jax.lax.sort(packed)[:C]
+    out = xsort(packed)[:C]
     hi = (out >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (out & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     n = jnp.sum(keep, dtype=jnp.int64)

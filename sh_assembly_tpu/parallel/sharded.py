@@ -182,7 +182,7 @@ class ShardedCounter:
                 bcodes, blengths = xs
                 keys, valid = nthash.windowed_canonical(bcodes, blengths, k)
                 keys = jnp.where(valid, keys & mask, sp.SENTINEL).reshape(-1)
-                sortk = jax.lax.sort(keys)
+                sortk = sp.xsort(keys)
                 padded = jnp.concatenate(
                     [sortk, jnp.full((Q,), sp.SENTINEL, jnp.uint64)])
                 bounds = jnp.searchsorted(sortk, boundaries).astype(jnp.int32)

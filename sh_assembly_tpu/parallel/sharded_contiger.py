@@ -113,7 +113,7 @@ class ShardedContiger:
         valid = keys != sp.SENTINEL
         packed = jnp.where(
             valid, (keys << _U64(idx_bits)) | iota, U64MAX)
-        sortp = jax.lax.sort(packed)
+        sortp = sp.xsort(packed)
         n_valid = jnp.sum(valid, dtype=jnp.int32)
         kb = jnp.asarray(
             [o << (key_bits - shard_bits) for o in range(n + 1)],
@@ -155,7 +155,7 @@ class ShardedContiger:
         h = jnp.where(valid, qhi, U64MAX)
         l = jnp.where(valid, qlo, U64MAX)
         pay = jnp.where(valid, iota, U64MAX)
-        sh, sl, so = jax.lax.sort((h, l, pay), num_keys=2)
+        sh, sl, so = sp.xsort((h, l, pay), num_keys=2)
         n_valid = jnp.sum(valid, dtype=jnp.int32)
         hb = jnp.asarray(
             [(o << (64 - shard_bits)) if o < n else 0xFFFFFFFFFFFFFFFF
@@ -224,7 +224,7 @@ class ShardedContiger:
 
             # route to node owners by top kmer bits
             if n > 1:
-                sh, sl = jax.lax.sort((chi, clo), num_keys=2)
+                sh, sl = sp.xsort((chi, clo), num_keys=2)
                 n_valid = jnp.sum(flat, dtype=jnp.int32)
                 hb = jnp.asarray(
                     [(o << (64 - shard_bits)) if o < n
@@ -242,7 +242,7 @@ class ShardedContiger:
             # merge + dedup into the local store (sorted, SENTINEL tail)
             ah = jnp.concatenate([store_hi, chi])
             al = jnp.concatenate([store_lo, clo])
-            sh2, sl2 = jax.lax.sort((ah, al), num_keys=2)
+            sh2, sl2 = sp.xsort((ah, al), num_keys=2)
             is_sent = (sh2 == U64MAX) & (sl2 == U64MAX)
             first = jnp.concatenate(
                 [jnp.ones((1,), bool),
@@ -250,7 +250,7 @@ class ShardedContiger:
             keep = first & ~is_sent
             kh = jnp.where(keep, sh2, U64MAX)
             kl = jnp.where(keep, sl2, U64MAX)
-            oh, ol = jax.lax.sort((kh, kl), num_keys=2)
+            oh, ol = sp.xsort((kh, kl), num_keys=2)
             n_store = jnp.sum(keep, dtype=jnp.int64)
             return (oh[:Cl], ol[:Cl], n_store[None], (d0 + d1)[None])
 
