@@ -86,7 +86,23 @@ def _host_sort_enabled() -> bool:
                 _HOST_SORT = jax.default_backend() == "cpu"
             except Exception:
                 _HOST_SORT = False
+    if _HOST_SORT and _inside_axis_context():
+        # A pure_callback stalls inside shard_map/collective programs (the
+        # callback serializes against the device threads executing the
+        # collective) — round-3 regression, MULTICHIP_r03. Collective
+        # programs always use the on-device sort.
+        return False
     return _HOST_SORT
+
+
+def _inside_axis_context() -> bool:
+    """True when tracing under shard_map/pmap (named axes in scope)."""
+    try:
+        from jax._src import core as _core
+
+        return bool(_core.get_axis_env().axis_sizes)
+    except Exception:
+        return False
 
 
 def xsort(operands, num_keys: int = 1):
