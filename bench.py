@@ -151,27 +151,32 @@ def main() -> int:
     # HONEST timing: the window must contain full buffer-fill cycles (sort +
     # merge), not just hash/append.  One merge fires per ~BC keys; run
     # enough supersteps for >= 2 merges and require them in-window.
-    threshold = jnp.asarray(1 << 62, jnp.int64)
-    rl = jnp.asarray(0, jnp.int32)
+    # Host-driven merge cadence (models/counter.py build_spectrum): pure
+    # append dispatches + one merge dispatch per buffer fill.
     keys_per_super = S * windows
     n_supers = int(2.2 * BC / keys_per_super) + 1
+    host_nbuf = [0]
 
-    def run_once(spec, rl, supers):
-        # defer the merge-count reads: int(m) inside the loop would force a
-        # host round trip per superstep (~25 ms tunnel latency each) and
-        # serialize the device pipeline
-        ms = []
+    def run_once(spec, supers):
+        merges = 0
         for pk, nm, ln in supers:
-            spec, rl, m = counter.count_scan_packed(
-                spec, rl, pk, nm, ln, threshold, k, key_bits, L)
-            ms.append(m)
+            if host_nbuf[0] + keys_per_super > BC:
+                spec = counter._merge_keep(spec, key_bits)
+                merges += 1
+                host_nbuf[0] = 0
+            spec = counter.append_scan_packed(
+                spec, pk, nm, ln, k, key_bits, L)
+            host_nbuf[0] += keys_per_super
         jax.block_until_ready(spec.hi)
-        return spec, rl, sum(int(m) for m in ms)
+        return spec, merges
 
     supers = [make_super() for _ in range(n_supers)]
-    spec, rl, _ = run_once(spec, rl, supers[:1])  # compile + warm
+    spec, _ = run_once(spec, supers[:1])  # compile + warm append
+    spec = counter._merge_keep(spec, key_bits)  # compile + warm merge
+    host_nbuf[0] = 0
+    jax.block_until_ready(spec.hi)
     t0 = time.time()
-    spec, rl, merges = run_once(spec, rl, supers)
+    spec, merges = run_once(spec, supers)
     dt = time.time() - t0
     kmers = len(supers) * keys_per_super
     rate = kmers / dt

@@ -2,7 +2,7 @@
 
 Times, at the bench geometry (qb=28, BC=2^27, k=47):
   1. unpack+hash only          (windowed_canonical_planes on packed batches)
-  2. hash+append (no merge)    (count_scan_packed with huge threshold, fresh buffer)
+  2. hash+append (no merge)    (append_scan_packed, fresh buffer)
   3. buffer sort variants      (pair u32 sort / u64 packed sort / single u32)
   4. merge kernel pass alone   (merge_planes on presorted planes)
 """
@@ -60,15 +60,18 @@ t0 = time.time(); r = jax.block_until_ready(hash_only(*sup)); dt = time.time() -
 log(f"hash-only: {dt*1e3:.1f}ms for {keys_per_super} keys = {dt/keys_per_super*1e9:.2f} ns/key ({keys_per_super/dt/1e6:.0f}M/s)")
 
 # --- 2. hash+append (no merge) --------------------------------------------
+# chain several dependent dispatches so tunnel latency amortizes out
+REP = 8
 spec = sp.make(C, BC)
-thr = jnp.asarray(1 << 62, jnp.int64)
-rl = jnp.asarray(0, jnp.int32)
-spec, rl, m = counter.count_scan_packed(spec, rl, *sup, thr, k, key_bits, L)
+spec = counter.append_scan_packed(spec, *sup, k, key_bits, L)
+spec = spec._replace(n_buf=jnp.zeros((), jnp.int64))
 jax.block_until_ready(spec.hi)
 t0 = time.time()
-spec, rl, m = counter.count_scan_packed(spec, rl, *sup, thr, k, key_bits, L)
+for _ in range(REP):
+    spec = counter.append_scan_packed(spec, *sup, k, key_bits, L)
+    spec = spec._replace(n_buf=jnp.zeros((), jnp.int64))
 jax.block_until_ready(spec.hi)
-dt = time.time() - t0
+dt = (time.time() - t0) / REP
 log(f"hash+append: {dt*1e3:.1f}ms = {dt/keys_per_super*1e9:.2f} ns/key ({keys_per_super/dt/1e6:.0f}M/s)")
 
 # --- 3. sorts --------------------------------------------------------------

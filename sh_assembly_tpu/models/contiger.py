@@ -177,9 +177,13 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
         nd = max(int(spec.ndistinct), 1024)
         node_cap = 1 << int(np.ceil(np.log2(nd + nd // 16 + 1024)))
     # query_join packs run ids into the spare payload bits; the pending
-    # buffer (= one query batch) must stay within that budget
+    # buffer (= one query batch) must stay within BOTH its budgets: the
+    # query-index field (< 2^(p-1)) and the run-id field
+    # ((C + Nq).bit_length() + p - 1 <= 63, spectrum.query_join)
     p = sp.payload_bits(key_bits)
-    max_rows_total = (1 << (p - 1)) // 2
+    run_bits = 63 - (p - 1)
+    max_by_runid = max((1 << run_bits) - spec.capacity - 1, 1 << 10)
+    max_rows_total = min((1 << (p - 1)) // 2, max_by_runid)
 
     store_hi = jnp.full((node_cap,), _U64(NODE_SENTINEL))
     store_lo = jnp.full((node_cap,), _U64(NODE_SENTINEL))

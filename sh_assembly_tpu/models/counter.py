@@ -72,113 +72,70 @@ def _sweep(spec: sp.Spectrum, key_bits: int) -> sp.Spectrum:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "key_bits", "tight_denoise"),
-    donate_argnums=(0,))
-def count_scan(spec: sp.Spectrum, rounds_left: jax.Array,
-               codes: jax.Array, lengths: jax.Array,
-               threshold: jax.Array, k: int, key_bits: int,
-               tight_denoise: bool = True):
-    """One fused device program over a stack of S batches.
+    jax.jit, static_argnames=("k", "key_bits"), donate_argnums=(0,))
+def append_scan(spec: sp.Spectrum, codes: jax.Array, lengths: jax.Array,
+                k: int, key_bits: int) -> sp.Spectrum:
+    """Pure hash+append over a stack of S batches (one device program).
 
-    Scans hash+append across the stack; when the log buffer would overflow,
-    a packed sort-merge runs under lax.cond, immediately followed (still on
-    device) by the deNoise trigger check and singleton sweep.  This keeps
-    the entire counting inner loop in a single dispatch — essential both
-    for tunnel/dispatch latency and for XLA to keep the spectrum buffers
-    donated in place.
-
-    Args:
-      spec: donated spectrum state.
-      rounds_left: int32[] deNoise rounds remaining.
-      codes: uint8[S, B, L]; lengths: int32[S, B].
-      threshold: int64[] ndistinct trigger (CQF_runtime_mt::needDeNoise,
-        CQF_mt.h:307-313).
-    Returns: (spec, rounds_left, merges_done int32[]).
+    NO merge inside the scan: an in-scan lax.cond threading the multi-GiB
+    spectrum through every step forces XLA to re-materialize the carried
+    planes per step (~4 ms/GiB/step, measured ~5x the real append cost).
+    Merge cadence is driven by the HOST instead — the buffer fill advances
+    deterministically (one batch = one fixed-size block), so the host
+    mirror knows exactly when the next append would overflow and dispatches
+    the merge program between appends (build_spectrum).  The caller
+    guarantees the whole stack fits the buffer headroom.
     """
-    BC = spec.buf_capacity
-
-    def sweep_fn(s: sp.Spectrum) -> sp.Spectrum:
-        return sp.sweep(s, key_bits)
-
-    def merge_and_maybe_sweep(args):
-        s, rl, merges = args
-        s = sp.merge(s, key_bits)
-        do_sweep = (rl > 0) & (s.ndistinct >= threshold)
-        s = jax.lax.cond(do_sweep, sweep_fn, lambda x: x, s)
-        return s, rl - do_sweep.astype(rl.dtype), merges + 1
-
-    def body(carry, xs):
-        s, rl, merges = carry
+    def body(s, xs):
         bcodes, blengths = xs
         kh, kl, valid = nthash.windowed_canonical_planes(bcodes, blengths, k)
         kh, kl = _mask_key_planes(kh, kl, key_bits)
-        need = s.n_buf + kh.size > BC
-        # tighter deNoise cadence: when the buffered occurrences could
-        # push ndistinct over the trigger, merge early so the sweep fires
-        # within ~BC/4 of the crossing instead of up to one full buffer
-        # late (the reference checks every ~8 MB chunk, CQF_mt.h:858-875).
-        # The n_buf >= BC/4 guard caps the extra merge cost at 4x cadence,
-        # and only while hovering just under the threshold.
-        if tight_denoise:
-            near = (rl > 0) & (s.n_buf >= BC // 4) & \
-                (s.ndistinct + s.n_buf >= threshold)
-            need = need | near
-        s, rl, merges = jax.lax.cond(
-            need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
-        s = sp.insert_planes(s, kh, kl, valid)
-        return (s, rl, merges), ()
+        return sp.insert_planes(s, kh, kl, valid), ()
 
-    init = (spec, rounds_left, jnp.zeros((), jnp.int32))
-    (spec, rounds_left, merges), _ = jax.lax.scan(
-        body, init, (codes, lengths))
-    return spec, rounds_left, merges
+    spec, _ = jax.lax.scan(body, spec, (codes, lengths))
+    return spec
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("k", "key_bits", "max_read_len", "tight_denoise"),
+    jax.jit, static_argnames=("k", "key_bits", "max_read_len"),
     donate_argnums=(0,))
-def count_scan_packed(spec: sp.Spectrum, rounds_left: jax.Array,
-                      packed: jax.Array, nmask: jax.Array, lengths: jax.Array,
-                      threshold: jax.Array, k: int, key_bits: int,
-                      max_read_len: int, tight_denoise: bool = True):
-    """count_scan over a 2-bit-packed read stack (ops/packio): the host
+def append_scan_packed(spec: sp.Spectrum, packed: jax.Array,
+                       nmask: jax.Array, lengths: jax.Array,
+                       k: int, key_bits: int, max_read_len: int
+                       ) -> sp.Spectrum:
+    """append_scan over a 2-bit-packed read stack (ops/packio): the host
     ships packed u8[S,B,L/4] + nmask u8[S,B,L/8] (4x less feed bandwidth)
     and each scan step unpacks on device before hashing."""
-    BC = spec.buf_capacity
     L = max_read_len
 
-    def sweep_fn(s: sp.Spectrum) -> sp.Spectrum:
-        return sp.sweep(s, key_bits)
-
-    def merge_and_maybe_sweep(args):
-        s, rl, merges = args
-        s = sp.merge(s, key_bits)
-        do_sweep = (rl > 0) & (s.ndistinct >= threshold)
-        s = jax.lax.cond(do_sweep, sweep_fn, lambda x: x, s)
-        return s, rl - do_sweep.astype(rl.dtype), merges + 1
-
-    def body(carry, xs):
-        s, rl, merges = carry
+    def body(s, xs):
         bpacked, bnmask, blengths = xs
         bcodes = packio.unpack(bpacked, bnmask, L)
         kh, kl, valid = nthash.windowed_canonical_planes(bcodes, blengths, k)
         kh, kl = _mask_key_planes(kh, kl, key_bits)
-        need = s.n_buf + kh.size > BC
-        # early merge near the deNoise trigger — see count_scan.body
-        if tight_denoise:
-            near = (rl > 0) & (s.n_buf >= BC // 4) & \
-                (s.ndistinct + s.n_buf >= threshold)
-            need = need | near
-        s, rl, merges = jax.lax.cond(
-            need, merge_and_maybe_sweep, lambda a: a, (s, rl, merges))
-        s = sp.insert_planes(s, kh, kl, valid)
-        return (s, rl, merges), ()
+        return sp.insert_planes(s, kh, kl, valid), ()
 
-    init = (spec, rounds_left, jnp.zeros((), jnp.int32))
-    (spec, rounds_left, merges), _ = jax.lax.scan(
-        body, init, (packed, nmask, lengths))
-    return spec, rounds_left, merges
+    spec, _ = jax.lax.scan(body, spec, (packed, nmask, lengths))
+    return spec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("key_bits",), donate_argnums=(0, 1))
+def merge_maybe_sweep(spec: sp.Spectrum, rounds_left: jax.Array,
+                      threshold: jax.Array, key_bits: int):
+    """Buffer merge + deNoise trigger check in one dispatch.
+
+    The sweep fires iff rounds remain and the post-merge distinct count
+    crosses the threshold (CQF_runtime_mt::needDeNoise, CQF_mt.h:307-313).
+    Returns (spec, rounds_left).  The cond costs one re-materialization of
+    the spectrum planes — amortized over a full buffer of appends, unlike
+    the per-batch cond this design replaced.
+    """
+    spec = sp.merge(spec, key_bits)
+    do_sweep = (rounds_left > 0) & (spec.ndistinct >= threshold)
+    spec = jax.lax.cond(
+        do_sweep, lambda s: sp.sweep(s, key_bits), lambda s: s, spec)
+    return spec, rounds_left - do_sweep.astype(rounds_left.dtype)
 
 
 @dataclass
@@ -286,6 +243,7 @@ def build_spectrum(
     stats = BuildStats()
     rounds_left = jnp.asarray(sizing.num_deNoise, jnp.int32)
     threshold = jnp.asarray(sizing.ndistinct_for_deNoise, jnp.int64)
+    threshold_i = int(sizing.ndistinct_for_deNoise)
     t0 = time.time()
     S, B, L = super_batch, batch_cfg.reads_per_batch, batch_cfg.max_read_len
     Lp = (L + 7) // 8 * 8  # packed transport needs L % 8 == 0
@@ -294,33 +252,87 @@ def build_spectrum(
     stack_nmask = np.full((S, B, Lp // 8), 0xFF, np.uint8)
     stack_lengths = np.zeros((S, B), np.int32)
     fill = 0
-    # host mirror of the device n_buf (insert/merge cadence is
-    # deterministic), so the finalize merge can be right-sized without a
-    # device sync
+    # HOST-DRIVEN merge cadence: every batch appends exactly BW block slots
+    # (padding included, sp.insert_planes), so the buffer fill is a
+    # deterministic host mirror and the host dispatches the merge program
+    # between appends — the per-batch in-scan lax.cond this replaces forced
+    # XLA to re-materialize the multi-GiB carried planes every scan step.
     BW = B * (Lp - k + 1)
     host_nbuf = 0
-    pending_nmain = None  # previous superstep's n_main (overflow check)
+    # ndistinct/rounds mirrors are EXACT: both only change at merges, and
+    # while deNoise rounds remain each merge dispatch is followed by one
+    # host sync (rare; cost ~ one tunnel round trip per buffer fill).
+    nd_host = 0
+    rl_host = int(sizing.num_deNoise)
+    pending_nmain = None  # previous merge's n_main (deferred overflow check)
 
-    merge_futures = []
+    def need_merge_before() -> bool:
+        """The per-batch cadence rule, host-side (bit-identical to the old
+        device cond: ndistinct is frozen between merges)."""
+        if host_nbuf + BW > buf_capacity:
+            return True
+        # tighter deNoise cadence: when the buffered occurrences could push
+        # ndistinct over the trigger, merge early so the sweep fires within
+        # ~BC/4 of the crossing instead of up to one full buffer late (the
+        # reference checks every ~8 MB chunk, CQF_mt.h:858-875).  The
+        # n_buf >= BC/4 guard caps the extra merge cost at 4x cadence.
+        return (tight_denoise and rl_host > 0
+                and host_nbuf >= buf_capacity // 4
+                and nd_host + host_nbuf >= threshold_i)
+
+    def do_merge():
+        nonlocal spec, rounds_left, host_nbuf, nd_host, rl_host
+        nonlocal pending_nmain
+        spec, rounds_left = merge_maybe_sweep(
+            spec, rounds_left, threshold, key_bits)
+        stats.merges += 1
+        host_nbuf = 0
+        if pending_nmain is not None:
+            sp.check_overflow_value(pending_nmain, capacity)
+        pending_nmain = spec.n_main.copy()
+        if rl_host > 0:
+            # sync the trigger mirrors (forces this merge to finish; only
+            # while rounds remain — the steady-state pipeline never syncs)
+            rl_new = int(rounds_left)
+            nd_host = int(spec.ndistinct)
+            if rl_new < rl_host:
+                log(f"deNoise sweep {sizing.num_deNoise - rl_new}: "
+                    f"distinct={nd_host}")
+            rl_host = rl_new
 
     def flush_stack():
-        nonlocal spec, rounds_left, fill, host_nbuf
+        nonlocal spec, fill, host_nbuf
         nonlocal stack_packed, stack_nmask, stack_lengths
-        with profiling.phase("count:device scan+merge"):
-            # async dispatch: returns futures; overlap with host feed
-            spec, rounds_left, merges = count_scan_packed(
-                spec, rounds_left, jnp.asarray(stack_packed),
-                jnp.asarray(stack_nmask), jnp.asarray(stack_lengths),
-                threshold, k, key_bits, Lp, tight_denoise)
-        merge_futures.append(merges)  # int() here would sync the pipeline
-        # mirror the in-scan merge cadence; with tight_denoise the device
-        # may merge EARLIER than this mirror (data-dependent trigger), so
-        # host_nbuf is an upper bound on the true fill — merge_sized only
-        # uses it to pick a prefix, an overestimate just costs speed
+        # does the cadence rule fire anywhere inside this stack?
+        nb, split = host_nbuf, False
         for _ in range(fill):
-            if host_nbuf + BW > buf_capacity:
-                host_nbuf = 0
-            host_nbuf += BW
+            if nb + BW > buf_capacity or (
+                    tight_denoise and rl_host > 0 and nb >= buf_capacity // 4
+                    and nd_host + nb >= threshold_i):
+                split = True
+                break
+            nb += BW
+        with profiling.phase("count:device scan+merge"):
+            if not split and fill == S:
+                # fast path: one fused S-step append program
+                spec = append_scan_packed(
+                    spec, jnp.asarray(stack_packed),
+                    jnp.asarray(stack_nmask), jnp.asarray(stack_lengths),
+                    k, key_bits, Lp)
+                host_nbuf += S * BW
+            else:
+                # merge boundary (or tail) inside the stack: dispatch
+                # batch-by-batch with the merge program in between — same
+                # per-batch cadence, one extra compiled program (S=1)
+                for i in range(fill):
+                    if need_merge_before():
+                        do_merge()
+                    spec = append_scan_packed(
+                        spec, jnp.asarray(stack_packed[i : i + 1]),
+                        jnp.asarray(stack_nmask[i : i + 1]),
+                        jnp.asarray(stack_lengths[i : i + 1]),
+                        k, key_bits, Lp)
+                    host_nbuf += BW
         # FRESH staging arrays: jnp.asarray may zero-copy numpy memory on
         # CPU backends, so mutating the old stack would race the async
         # dispatch that still reads it
@@ -355,31 +367,21 @@ def build_spectrum(
         stats.batches += 1
         if fill == S:
             flush_stack()
-            # check the PREVIOUS superstep's n_main: one step of slack
-            # keeps the device pipeline full (no sync on in-flight work).
-            # .copy(): the original buffer is donated by the NEXT dispatch
-            if pending_nmain is not None:
-                sp.check_overflow_value(pending_nmain, capacity)
-            pending_nmain = spec.n_main.copy()
             if progress_every and stats.batches % progress_every < S:
                 log(f"batch {stats.batches}: nelts={int(spec.nelts)} "
                     f"ndistinct(last merge)={int(spec.ndistinct)}")
     if fill:
         flush_stack()
 
-    # End-of-stream overflow checks: the deferred pending_nmain covers the
-    # second-to-last superstep, and spec.n_main covers the last one (the
-    # stream's tail is the most likely overflow point — the store fills
-    # monotonically).  One host sync here costs nothing; without it an
-    # overflow in the final supersteps would be masked because the next
-    # merge recomputes n_main from planes already truncated to [:capacity].
+    # End-of-stream overflow checks: pending_nmain covers the last mid-
+    # stream merge; the finalize merge below covers the stream's tail (the
+    # most likely overflow point — the store fills monotonically).
     if pending_nmain is not None:
         sp.check_overflow_value(pending_nmain, capacity)
-    sp.check_overflow(spec)
 
     with profiling.phase("count:finalize merge+sweeps"):
         spec = sp.merge_sized(spec, key_bits, host_nbuf)
-        stats.merges += 1 + sum(int(m) for m in merge_futures)
+        stats.merges += 1
         sp.check_overflow(spec)
         # the reference's trigger also fires on the final chunk
         # (CQF_mt.h:858)
