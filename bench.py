@@ -199,7 +199,7 @@ def main() -> int:
 
     # Wall-clock budget for the optional sections (compiles dominate on a
     # cold cache; each section is skipped once the deadline passes).
-    deadline = t_all + float(os.environ.get("SH_BENCH_DEADLINE", "420"))
+    deadline = t_all + float(os.environ.get("SH_BENCH_DEADLINE", "560"))
 
     def time_left(need: float) -> bool:
         return (deadline - time.time()) > need
@@ -315,7 +315,7 @@ def main() -> int:
 
         def run_stage2():
             t0 = time.time()
-            hi2, lo2 = contiger.collect_nodes(
+            hi2, lo2, _seed2 = contiger.collect_nodes(
                 spec2, iter(batches), k, kb2, 2)
             t_collect = time.time() - t0
             Np = 1 << max(int(np.ceil(np.log2(max(len(hi2), 1024)))), 10)
@@ -339,6 +339,47 @@ def main() -> int:
         del spec2, batches
     except Exception as e:
         log(f"# stage2 skipped: {e!r}")
+
+    # ---- end-to-end reads -> contigs (north-star #2) ---------------------
+    # VERDICT r3 #4: the full-pipeline wall clock must be recorded by
+    # default, as a second JSON line (1 Mbp x 30x synthetic workload).
+    try:
+        if not time_left(150):
+            raise RuntimeError("bench deadline")
+        from sh_assembly_tpu.cli import pipeline as pipe
+
+        d = tempfile.mkdtemp(prefix="bench_e2e_")
+        g2 = rng.integers(0, 4, size=1_000_000).astype(np.uint8)
+        bmap = np.frombuffer(b"ACGT", np.uint8)
+        n_reads_e, rl_e = 300_000, 100
+        starts = rng.integers(0, len(g2) - rl_e, size=n_reads_e)
+        rows = bmap[g2[starts[:, None] + np.arange(rl_e)]]
+        with open(os.path.join(d, "reads.fastq"), "wb") as f:
+            quals = b"I" * rl_e
+            for i in range(n_reads_e):
+                f.write(b"@r%d\n" % i)
+                f.write(rows[i].tobytes())
+                f.write(b"\n+\n%s\n" % quals)
+        with open(os.path.join(d, "ReadFiles.txt"), "w") as f:
+            f.write("reads.fastq\n")
+        total_kmers = n_reads_e * (rl_e - k + 1)
+        t0 = time.time()
+        pipe.main(["-k", str(k), "-i", os.path.join(d, "ReadFiles.txt"),
+                   "-n", "1000000", "-N", str(total_kmers), "-e", "0.001",
+                   "--deNoise", "0",
+                   "-o", os.path.join(d, "contigs.fa"),
+                   "--unitigs", os.path.join(d, "unitigs.fa")])
+        dte = time.time() - t0
+        log(f"# end-to-end reads->contigs: {dte:.1f}s for {n_reads_e} reads "
+            f"({total_kmers/dte/1e6:.1f}M kmers/s incl. everything)")
+        print(json.dumps({
+            "metric": "end_to_end_reads_to_contigs_1mbp30x",
+            "value": round(dte, 2),
+            "unit": "s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+    except Exception as e:
+        log(f"# end-to-end skipped: {e!r}")
 
     if os.environ.get("SH_BENCH_FULL"):
         extended(k, baseline)
@@ -379,36 +420,6 @@ def extended(k: int, baseline: float) -> None:
     except Exception as e:
         log(f"# feed-included skipped: {e!r}")
 
-    # ---- end-to-end reads -> contigs -------------------------------------
-    try:
-        from sh_assembly_tpu.cli import pipeline as pipe
-
-        d = tempfile.mkdtemp(prefix="bench_e2e_")
-        g2 = rng.integers(0, 4, size=1_000_000).astype(np.uint8)
-        bmap = np.frombuffer(b"ACGT", np.uint8)
-        n_reads, rl_ = 300_000, 100
-        starts = rng.integers(0, len(g2) - rl_, size=n_reads)
-        rows = bmap[g2[starts[:, None] + np.arange(rl_)]]
-        with open(os.path.join(d, "reads.fastq"), "wb") as f:
-            quals = b"I" * rl_
-            for i in range(n_reads):
-                f.write(b"@r%d\n" % i)
-                f.write(rows[i].tobytes())
-                f.write(b"\n+\n%s\n" % quals)
-        with open(os.path.join(d, "ReadFiles.txt"), "w") as f:
-            f.write("reads.fastq\n")
-        total_kmers = n_reads * (rl_ - k + 1)
-        t0 = time.time()
-        pipe.main(["-k", str(k), "-i", os.path.join(d, "ReadFiles.txt"),
-                   "-n", "1000000", "-N", str(total_kmers), "-e", "0.001",
-                   "--deNoise", "0",
-                   "-o", os.path.join(d, "contigs.fa"),
-                   "--unitigs", os.path.join(d, "unitigs.fa")])
-        dte = time.time() - t0
-        log(f"# end-to-end reads->contigs: {dte:.1f}s for {n_reads} reads "
-            f"({total_kmers/dte/1e6:.1f}M kmers/s incl. everything)")
-    except Exception as e:
-        log(f"# end-to-end skipped: {e!r}")
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ constexpr size_t CHUNK = 1u << 23;  // 8 MB parts, like the reference
 
 struct Segment {
   std::vector<uint8_t> codes;
+  // offset of the source READ's middle k-mer within this segment, or -1
+  // (the reference seeds unitig traversal from read middles only,
+  // contig_assembly.cpp:2068-2080)
+  int64_t seed_pos = -1;
 };
 
 uint8_t g_ascii2code[256];
@@ -90,9 +94,12 @@ class Reader {
   // rows with k-1 overlap (identical to io/fastq.Batcher); a segment that
   // doesn't fit in the current batch resumes in the next call.  Returns
   // rows written; 0 means end of stream.
-  int next_batch(uint8_t* codes, int32_t* lengths, int B, int L) {
+  int next_batch(uint8_t* codes, int32_t* lengths, int B, int L,
+                 int32_t* seed_cols = nullptr) {
     int row = 0;
     const size_t step = (size_t)L - k_ + 1;
+    if (seed_cols)
+      for (int r = 0; r < B; r++) seed_cols[r] = -1;
     while (row < B) {
       if (!has_pending_) {
         std::unique_lock<std::mutex> lk(mu_);
@@ -121,6 +128,10 @@ class Reader {
         memcpy(dst, pending_.codes.data() + off, len);
         if ((int)len < L) memset(dst + len, CODE_PAD, L - len);
         lengths[row] = (int32_t)len;
+        if (seed_cols && pending_.seed_pos >= 0 &&
+            (size_t)pending_.seed_pos >= off &&
+            (size_t)pending_.seed_pos < off + step)
+          seed_cols[row] = (int32_t)(pending_.seed_pos - off);
         row++;
         if (off + len >= n) {
           has_pending_ = false;
@@ -140,9 +151,9 @@ class Reader {
   // device link at 2.25 bits/base without a Python packing pass.
   // L must be a multiple of 8.
   int next_batch_packed(uint8_t* packed, uint8_t* nmask, int32_t* lengths,
-                        int B, int L) {
+                        int B, int L, int32_t* seed_cols = nullptr) {
     scratch_.assign((size_t)B * L, CODE_PAD);
-    int rows = next_batch(scratch_.data(), lengths, B, L);
+    int rows = next_batch(scratch_.data(), lengths, B, L, seed_cols);
     const int Lq = L / 4, Lo = L / 8;
     memset(packed, 0, (size_t)B * Lq);
     memset(nmask, 0, (size_t)B * Lo);
@@ -274,17 +285,30 @@ class Reader {
     const size_t n = seq.size();
     std::vector<uint8_t> codes(n);
     for (size_t i = 0; i < n; i++) codes[i] = g_ascii2code[(uint8_t)seq[i]];
+    // read-middle seed k-mer (reference find_unitigs_mt_master seeding,
+    // contig_assembly.cpp:2068-2080): skipped when it contains an N; an
+    // N-free window lies entirely inside one segment
+    const size_t middle = n / 2;
+    bool seed_ok = middle + k <= n;
+    if (seed_ok)
+      for (size_t i = middle; i < middle + k; i++)
+        if (codes[i] == CODE_N) { seed_ok = false; break; }
     size_t start = 0;
     std::vector<Segment> segs;
+    auto push_seg = [&](size_t s, size_t e) {
+      Segment sg;
+      sg.codes.assign(codes.begin() + s, codes.begin() + e);
+      if (seed_ok && s <= middle && middle + k <= e)
+        sg.seed_pos = (int64_t)(middle - s);
+      segs.push_back(std::move(sg));
+    };
     for (size_t i = 0; i < n; i++) {
       if (codes[i] == CODE_N && i >= start + k) {
-        segs.push_back({std::vector<uint8_t>(codes.begin() + start,
-                                             codes.begin() + i)});
+        push_seg(start, i);
         start = i + 1;
       }
     }
-    if (n >= start + k)
-      segs.push_back({std::vector<uint8_t>(codes.begin() + start, codes.end())});
+    if (n >= start + k) push_seg(start, n);
     if (segs.empty()) return;
     std::lock_guard<std::mutex> g(mu_);
     for (auto& s : segs) {
@@ -316,20 +340,26 @@ class Reader {
 
 extern "C" {
 
+// ABI version: bump when exported signatures change so the Python loader
+// can detect a stale libshasm.so and rebuild (io/native.py).
+int shr_abi_version() { return 2; }
+
 void* shr_open(const char** paths, int n_paths, int k, int n_threads) {
   std::vector<std::string> v;
   for (int i = 0; i < n_paths; i++) v.emplace_back(paths[i]);
   return new Reader(std::move(v), k, n_threads);
 }
 
-int shr_next_batch(void* h, uint8_t* codes, int32_t* lengths, int B, int L) {
-  return static_cast<Reader*>(h)->next_batch(codes, lengths, B, L);
+int shr_next_batch(void* h, uint8_t* codes, int32_t* lengths, int B, int L,
+                   int32_t* seed_cols) {
+  return static_cast<Reader*>(h)->next_batch(codes, lengths, B, L, seed_cols);
 }
 
 int shr_next_batch_packed(void* h, uint8_t* packed, uint8_t* nmask,
-                          int32_t* lengths, int B, int L) {
+                          int32_t* lengths, int B, int L,
+                          int32_t* seed_cols) {
   return static_cast<Reader*>(h)->next_batch_packed(packed, nmask, lengths,
-                                                    B, L);
+                                                    B, L, seed_cols);
 }
 
 int shr_failed(void* h) { return static_cast<Reader*>(h)->failed() ? 1 : 0; }

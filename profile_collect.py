@@ -40,7 +40,7 @@ import cProfile, pstats
 t0 = time.time()
 pr = cProfile.Profile()
 pr.enable()
-hi, lo = contiger.collect_nodes(spec, iter(batches), k, kb, 2)
+hi, lo, _ = contiger.collect_nodes(spec, iter(batches), k, kb, 2)
 pr.disable()
 print(f"collect_nodes: {time.time()-t0:.1f}s, {len(hi)} nodes", file=sys.stderr)
 st = pstats.Stats(pr, stream=sys.stderr)

@@ -161,6 +161,131 @@ def decode_run(slots: np.ndarray, base_bits: int) -> list[tuple[int, int]]:
     return out
 
 
+def _native_lib():
+    """The shared native library (cpp/cqf_ser.cpp), or None.
+
+    Streams blocks with O(1) memory beyond the key arrays — the Python
+    paths below materialize ~30 B/slot of intermediates (fine at test
+    scale, prohibitive for human-scale filters) and decode runs in a
+    Python loop.  Both directions are cross-validated against the Python
+    transcoder (tests/test_cqf_ser.py)."""
+    import ctypes
+
+    from ..io import native
+
+    lib = native._load()
+    if lib is None or not hasattr(lib, "serw_open"):
+        return None
+    if not getattr(lib, "_ser_typed", False):
+        lib.serw_open.restype = ctypes.c_void_p
+        lib.serw_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint32, ctypes.c_uint64, ctypes.c_uint64]
+        lib.serw_add.restype = ctypes.c_int
+        lib.serw_add.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64]
+        lib.serw_close.restype = ctypes.c_int
+        lib.serw_close.argtypes = [ctypes.c_void_p]
+        lib.serr_open.restype = ctypes.c_void_p
+        lib.serr_open.argtypes = [ctypes.c_char_p]
+        lib.serr_meta.restype = None
+        lib.serr_meta.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_uint64)]
+        lib.serr_next.restype = ctypes.c_int64
+        lib.serr_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64]
+        lib.serr_close.restype = None
+        lib.serr_close.argtypes = [ctypes.c_void_p]
+        lib._ser_typed = True
+    return lib
+
+
+def write_ser_native(path, keys, counts, qb, key_bits, traveled=None,
+                     seed=DEFAULT_SEED, nelts=None, ndistinct=None,
+                     chunk=1 << 22):
+    """Streaming native writer; raises RuntimeError without the library."""
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        raise RuntimeError("native transcoder unavailable")
+    keys = np.ascontiguousarray(keys, np.uint64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    trav = (np.ascontiguousarray(traveled, np.uint8)
+            if traveled is not None else np.zeros(len(keys), np.uint8))
+    m = CqfMeta(seed=seed, nslots=1 << qb, key_bits=key_bits,
+                nelts=int(counts.sum()) if nelts is None else nelts,
+                ndistinct_elts=len(keys) if ndistinct is None else ndistinct)
+    h = lib.serw_open(path.encode(), qb, key_bits, seed,
+                      m.nelts, m.ndistinct_elts)
+    if not h:
+        raise IOError(f"serw_open failed for {path}")
+    ok = True
+    try:
+        for i in range(0, len(keys), chunk):
+            j = min(i + chunk, len(keys))
+            kc = np.ascontiguousarray(keys[i:j])
+            cc = np.ascontiguousarray(counts[i:j])
+            tc = np.ascontiguousarray(trav[i:j])
+            if lib.serw_add(
+                    h, kc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                    cc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    tc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    j - i) != 0:
+                ok = False
+                break
+    finally:
+        rc = lib.serw_close(h)
+    if not ok or rc != 0:
+        raise ValueError(
+            "native .ser write failed (keys not strictly increasing, or "
+            "CQF overflow beyond xnslots)")
+    return m
+
+
+def read_ser_native(path, chunk=1 << 22):
+    """Streaming native reader -> (meta, keys, counts, traveled)."""
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        raise RuntimeError("native transcoder unavailable")
+    h = lib.serr_open(path.encode())
+    if not h:
+        raise IOError(f"serr_open failed for {path}")
+    try:
+        mi = np.zeros(8, np.uint64)
+        lib.serr_meta(h, mi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        m = CqfMeta(seed=int(mi[0]), nslots=int(mi[1]), key_bits=int(mi[2]),
+                    value_bits=int(mi[3]), nelts=int(mi[4]),
+                    ndistinct_elts=int(mi[5]), noccupied_slots=int(mi[6]))
+        ks, cs, ts = [], [], []
+        kb = np.empty(chunk, np.uint64)
+        cb = np.empty(chunk, np.int64)
+        tb = np.empty(chunk, np.uint8)
+        while True:
+            n = lib.serr_next(
+                h, kb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                tb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), chunk)
+            if n < 0:
+                raise ValueError(f"corrupt .ser file {path}")
+            if n == 0:
+                break
+            ks.append(kb[:n].copy())
+            cs.append(cb[:n].copy())
+            ts.append(tb[:n].copy())
+    finally:
+        lib.serr_close(h)
+    cat = (lambda parts, dt: np.concatenate(parts) if parts
+           else np.zeros(0, dt))
+    return (m, cat(ks, np.uint64), cat(cs, np.int64), cat(ts, np.uint8))
+
+
 def write_ser(
     path: str,
     keys: np.ndarray,
@@ -172,7 +297,32 @@ def write_ser(
     nelts: int | None = None,
     ndistinct: int | None = None,
 ) -> CqfMeta:
-    """Serialize sorted (key, count) arrays into a reference .ser file."""
+    """Serialize sorted (key, count) arrays into a reference .ser file.
+
+    Dispatches to the streaming native writer when available (O(1) memory
+    beyond the arrays); the pure-numpy fallback below is the validated
+    specification both implementations must match byte-for-byte."""
+    try:
+        return write_ser_native(path, keys, counts, qb, key_bits,
+                                traveled, seed, nelts, ndistinct)
+    except RuntimeError:
+        pass
+    return write_ser_py(path, keys, counts, qb, key_bits, traveled, seed,
+                        nelts, ndistinct)
+
+
+def write_ser_py(
+    path: str,
+    keys: np.ndarray,
+    counts: np.ndarray,
+    qb: int,
+    key_bits: int,
+    traveled: np.ndarray | None = None,
+    seed: int = DEFAULT_SEED,
+    nelts: int | None = None,
+    ndistinct: int | None = None,
+) -> CqfMeta:
+    """Pure-numpy writer (the executable specification)."""
     keys = np.asarray(keys, dtype=np.uint64)
     counts = np.asarray(counts, dtype=np.int64)
     if traveled is None:
@@ -291,7 +441,19 @@ def write_ser(
 
 
 def read_ser(path: str):
-    """Parse a reference .ser file -> (meta, keys, counts, traveled)."""
+    """Parse a reference .ser file -> (meta, keys, counts, traveled).
+
+    Dispatches to the streaming native reader when available; the numpy
+    fallback below is the validated specification."""
+    try:
+        return read_ser_native(path)
+    except RuntimeError:
+        pass
+    return read_ser_py(path)
+
+
+def read_ser_py(path: str):
+    """Pure-numpy reader (the executable specification)."""
     with open(path, "rb") as f:
         m = _unpack_metadata(f.read(METADATA_BYTES))
         raw = np.frombuffer(f.read(m.size), dtype=np.uint8)

@@ -124,6 +124,11 @@ class Batch:
     codes: np.ndarray  # uint8[B, L]
     lengths: np.ndarray  # int32[B]
     n_rows: int  # rows actually used
+    # column of the source READ's middle k-mer within this row, -1 if this
+    # row holds no read-middle (the reference seeds traversal only from the
+    # middle k-mer of each read, contig_assembly.cpp:2068-2071); None means
+    # the producer didn't track seeds (counting-only paths)
+    seed_col: np.ndarray | None = None  # int32[B]
 
 
 @dataclass
@@ -136,6 +141,7 @@ class PackedBatch:
     nmask: np.ndarray  # uint8[B, L/8]
     lengths: np.ndarray  # int32[B]
     n_rows: int
+    seed_col: np.ndarray | None = None  # int32[B]; see Batch.seed_col
 
     @property
     def row_len(self) -> int:
@@ -151,17 +157,24 @@ class Batcher:
         self.L = max_read_len
         self._codes = np.full((self.B, self.L), _PAD, dtype=np.uint8)
         self._lengths = np.zeros(self.B, dtype=np.int32)
+        self._seed = np.full(self.B, -1, dtype=np.int32)
         self._row = 0
 
     def _emit(self) -> Batch:
-        b = Batch(self._codes, self._lengths, self._row)
+        b = Batch(self._codes, self._lengths, self._row, self._seed)
         self._codes = np.full((self.B, self.L), _PAD, dtype=np.uint8)
         self._lengths = np.zeros(self.B, dtype=np.int32)
+        self._seed = np.full(self.B, -1, dtype=np.int32)
         self._row = 0
         return b
 
-    def add_segment(self, seg: np.ndarray) -> Iterator[Batch]:
-        """Add one N-free-tail segment; yields finished batches."""
+    def add_segment(self, seg: np.ndarray,
+                    seed_pos: int = -1) -> Iterator[Batch]:
+        """Add one N-free-tail segment; yields finished batches.
+
+        seed_pos: offset within `seg` of the source read's middle k-mer,
+        or -1 (the k-mer never straddles a piece boundary: pieces overlap
+        by k-1 and each window belongs to exactly one piece)."""
         k, L = self.k, self.L
         step = L - k + 1
         for off in range(0, max(len(seg) - k + 1, 1), step):
@@ -170,14 +183,26 @@ class Batcher:
                 break
             self._codes[self._row, : len(piece)] = piece
             self._lengths[self._row] = len(piece)
+            if seed_pos >= 0 and off <= seed_pos < off + step:
+                self._seed[self._row] = seed_pos - off
             self._row += 1
             if self._row == self.B:
                 yield self._emit()
 
     def add_read(self, seq: bytes | np.ndarray) -> Iterator[Batch]:
         codes = dna.encode(seq) if isinstance(seq, (bytes, str)) else seq
+        # reference seed rule (find_unitigs_mt_master, contig_assembly.cpp:
+        # 2068-2080): the read's middle k-mer, skipped when it contains an
+        # N; an N-free window lies inside exactly one segment
+        k = self.k
+        middle = len(codes) // 2
+        seed_ok = (middle + k <= len(codes)
+                   and not np.any(codes[middle : middle + k] >= 4))
         for start, length in segment_read(codes, self.k):
-            yield from self.add_segment(codes[start : start + length])
+            sp = -1
+            if seed_ok and start <= middle and middle + k <= start + length:
+                sp = middle - start
+            yield from self.add_segment(codes[start : start + length], sp)
 
     def flush(self) -> Iterator[Batch]:
         if self._row:

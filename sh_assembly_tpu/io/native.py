@@ -23,25 +23,58 @@ _lib = None
 _tried = False
 
 
+_ABI_VERSION = 2
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_REPO, "cpp")],
+            capture_output=True, check=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # toolchain missing: stay on the Python path
+        log(f"[io] native reader unavailable ({e}); using Python reader")
+        return False
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.join(_REPO, "cpp")],
-                capture_output=True, check=True, timeout=120,
-            )
-        except Exception as e:  # toolchain missing: stay on the Python path
-            log(f"[io] native reader unavailable ({e}); using Python reader")
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError as e:
-        log(f"[io] failed to load {_LIB_PATH}: {e}")
+    if not os.path.exists(_LIB_PATH) and not _build():
         return None
+
+    def open_lib():
+        try:
+            return ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            log(f"[io] failed to load {_LIB_PATH}: {e}")
+            return None
+
+    lib = open_lib()
+    if lib is None:
+        return None
+    # stale .so from an older checkout: rebuild once on ABI mismatch
+    try:
+        ver = lib.shr_abi_version()
+    except AttributeError:
+        ver = 1
+    if ver != _ABI_VERSION:
+        log(f"[io] native reader ABI {ver} != {_ABI_VERSION}; rebuilding")
+        try:
+            os.remove(_LIB_PATH)
+        except OSError:
+            pass
+        if not _build():
+            return None
+        lib = open_lib()
+        if lib is None:
+            return None
+        if lib.shr_abi_version() != _ABI_VERSION:
+            log("[io] native reader ABI still stale; using Python reader")
+            return None
     lib.shr_open.restype = ctypes.c_void_p
     lib.shr_open.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -53,6 +86,7 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
     ]
     lib.shr_next_batch_packed.restype = ctypes.c_int
     lib.shr_next_batch_packed.argtypes = [
@@ -61,6 +95,7 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
     ]
     lib.shr_failed.restype = ctypes.c_int
     lib.shr_failed.argtypes = [ctypes.c_void_p]
@@ -99,17 +134,19 @@ def batches_from_files(
         while True:
             codes = np.full((B, L), pyfastq._PAD, dtype=np.uint8)
             lengths = np.zeros(B, dtype=np.int32)
+            seed_col = np.full(B, -1, dtype=np.int32)
             n = lib.shr_next_batch(
                 h,
                 codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 B, L,
+                seed_col.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
             if n <= 0:
                 if lib.shr_failed(h):
                     raise IOError("native reader failed (bad file?)")
                 break
-            yield pyfastq.Batch(codes, lengths, n)
+            yield pyfastq.Batch(codes, lengths, n, seed_col)
     finally:
         lib.shr_close(h)
 
@@ -134,7 +171,7 @@ def packed_batches_from_files(
 
         for b in pyfastq.batches_from_files(paths, k, fmode, B, L):
             p, m = packio.pack_np(b.codes)
-            yield pyfastq.PackedBatch(p, m, b.lengths, b.n_rows)
+            yield pyfastq.PackedBatch(p, m, b.lengths, b.n_rows, b.seed_col)
         return
 
     arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
@@ -146,17 +183,19 @@ def packed_batches_from_files(
             packed = np.zeros((B, L // 4), dtype=np.uint8)
             nmask = np.zeros((B, L // 8), dtype=np.uint8)
             lengths = np.zeros(B, dtype=np.int32)
+            seed_col = np.full(B, -1, dtype=np.int32)
             n = lib.shr_next_batch_packed(
                 h,
                 packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 B, L,
+                seed_col.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
             if n <= 0:
                 if lib.shr_failed(h):
                     raise IOError("native reader failed (bad file?)")
                 break
-            yield pyfastq.PackedBatch(packed, nmask, lengths, n)
+            yield pyfastq.PackedBatch(packed, nmask, lengths, n, seed_col)
     finally:
         lib.shr_close(h)

@@ -25,12 +25,27 @@ with batched array passes over the whole de Bruijn graph:
      median abundances (Utility.cpp:27 median), and link maps are
      materialized on host from compacted device arrays.
 
-Known, deliberate divergences from the reference (documented for parity
-tests): unitigs whose k-mers appear in no read but alias a counted hash
-(range collisions) are not discovered; components containing no read-middle
-seed are still emitted; cyclic unitigs start at a deterministic node rather
-than a traversal-dependent one.  All three only matter under hash collision
-or pathological coverage; set-level parity holds on the BASELINE configs.
+Reference-faithful discovery semantics (validated against the COMPILED
+reference traversal, tests/test_ref_contiger.py + tests/ref_harness/
+ref_contiger.cpp):
+
+  * "phantom" candidates — probe k-mers whose hash aliases a counted key
+    even though the k-mer appears in no read — join the node set
+    (close_over_phantoms), exactly like the reference's count-only
+    candidate rule (contig_assembly.cpp:3064-3120);
+  * suffix-sibling spawns at junctions connect components for the seed
+    filter (the discovery graph is links + sibling adjacency);
+  * a component is emitted iff reachable from a READ-MIDDLE k-mer with
+    count in [-x, -X] (find_unitigs_mt_master seeding,
+    contig_assembly.cpp:2068-2082), carried as per-node seed flags from
+    the readers' seed_col metadata.
+
+Known divergences (both order-dependent in the reference itself): the
+reference skips a seed whose key was already probe-marked traveled — a
+traversal-order race that can drop whole components nondeterministically
+(we keep them: our output is a reproducible superset); cyclic unitigs
+start at a deterministic minimum node rather than a traversal-dependent
+one (same canonical sequence either way).
 """
 
 from __future__ import annotations
@@ -60,9 +75,9 @@ NODE_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 @functools.partial(
     jax.jit, static_argnames=("k", "key_bits", "L"),
-    donate_argnums=(0, 1, 2))
-def _stage_super(pend_hi, pend_lo, pend_key, n_pend, packed, nmask,
-                 lengths, k: int, key_bits: int, L: int):
+    donate_argnums=(0, 1, 2, 3))
+def _stage_super(pend_hi, pend_lo, pend_key, pend_seed, n_pend, packed,
+                 nmask, lengths, seed_cols, k: int, key_bits: int, L: int):
     """Stage one superstep of read rows into the pending candidate buffer.
 
     Extracts every valid N-free window's canonical packed k-mer plus its
@@ -72,6 +87,11 @@ def _stage_super(pend_hi, pend_lo, pend_key, n_pend, packed, nmask,
     _flush_pending so the O(C)-element sorts amortize over many
     supersteps (the reference instead pays a point query per window,
     processDataChunk, src/contig_assembly.cpp:1839-1924).
+
+    seed_cols[r] marks the column of the source read's middle k-mer (-1 =
+    none): those windows carry a seed flag, OR-folded across duplicates
+    (the reference only STARTS traversal from read middles,
+    contig_assembly.cpp:2068-2080).
 
     Invariant: pending entries at index >= n_pend are SENTINEL (fresh
     buffers start all-SENTINEL and every append rewrites its own tail).
@@ -89,6 +109,8 @@ def _stage_super(pend_hi, pend_lo, pend_key, n_pend, packed, nmask,
     nfree = (cbad[:, k - 1 :] - jnp.concatenate(
         [jnp.zeros((SB, 1), jnp.int32), cbad[:, : W - 1]], axis=1)) == 0
     ok = valid & nfree
+    is_seed = ok & (jnp.arange(W, dtype=jnp.int32)[None, :]
+                    == seed_cols[:, None])
 
     hi, lo = kp.pack_windows(codes, k)
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
@@ -99,32 +121,37 @@ def _stage_super(pend_hi, pend_lo, pend_key, n_pend, packed, nmask,
     chi = jnp.where(flat, chi.reshape(-1), sent)
     clo = jnp.where(flat, clo.reshape(-1), sent)
     ckey = jnp.where(flat, keys.reshape(-1), sent)
+    # inverted flag as a sort key: within a duplicate run the seed-flagged
+    # copy sorts first, so keep-first ORs the flags
+    nflag = jnp.where(is_seed.reshape(-1), jnp.uint8(0), jnp.uint8(1))
 
     # within-superstep dedup + compaction: sort by (hi, lo) pair (hash key
     # rides along), keep the first of each run, re-sort kills to the tail
-    sh, sl, sk = sp.xsort((chi, clo, ckey), num_keys=2)
+    sh, sl, sf, sk = sp.xsort((chi, clo, nflag, ckey), num_keys=3)
     is_sent = (sh == sent) & (sl == sent)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
     keep = first & ~is_sent
     kh = jnp.where(keep, sh, sent)
     kl = jnp.where(keep, sl, sent)
+    kf = jnp.where(keep, jnp.uint8(1) - sf, jnp.uint8(0))
     kk = jnp.where(keep, sk, sent)
-    oh, ol, okk = sp.xsort((kh, kl, kk), num_keys=2)
+    oh, ol, okf, okk = sp.xsort((kh, kl, kf, kk), num_keys=2)
     m = jnp.sum(keep, dtype=jnp.int64)
 
     off = n_pend.astype(jnp.int32)
     pend_hi = jax.lax.dynamic_update_slice(pend_hi, oh, (off,))
     pend_lo = jax.lax.dynamic_update_slice(pend_lo, ol, (off,))
     pend_key = jax.lax.dynamic_update_slice(pend_key, okk, (off,))
-    return pend_hi, pend_lo, pend_key, n_pend + m
+    pend_seed = jax.lax.dynamic_update_slice(pend_seed, okf, (off,))
+    return pend_hi, pend_lo, pend_key, pend_seed, n_pend + m
 
 
 @functools.partial(
     jax.jit, static_argnames=("key_bits", "abundance_min"),
-    donate_argnums=(1, 2, 3, 4, 5))
-def _flush_pending(spec: sp.Spectrum, store_hi, store_lo,
-                   pend_hi, pend_lo, pend_key,
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _flush_pending(spec: sp.Spectrum, store_hi, store_lo, store_seed,
+                   pend_hi, pend_lo, pend_key, pend_seed,
                    key_bits: int, abundance_min: int):
     """Count-filter the pending candidates once, merge the solid ones into
     the sorted node store, and return cleared pending planes.
@@ -133,7 +160,8 @@ def _flush_pending(spec: sp.Spectrum, store_hi, store_lo,
     amortized over the ~pend_cap/SB*W supersteps that filled the buffer,
     vs the per-superstep full-spectrum sort of the round-2 design.
     Cross-superstep duplicates inside pending are collapsed by the same
-    keep-first rule that dedups against the store.
+    keep-first rule that dedups against the store; seed flags OR across
+    duplicates via the inverted-flag sort key.
     """
     counts = sp.query_join(spec, pend_key, key_bits)  # SENTINEL keys -> 0
     solid = counts >= abundance_min
@@ -143,19 +171,24 @@ def _flush_pending(spec: sp.Spectrum, store_hi, store_lo,
 
     ah = jnp.concatenate([store_hi, chi])
     al = jnp.concatenate([store_lo, clo])
-    sh, sl = sp.xsort((ah, al), num_keys=2)
+    nf = jnp.concatenate([jnp.uint8(1) - store_seed,
+                          jnp.where(solid, jnp.uint8(1) - pend_seed,
+                                    jnp.uint8(1))])
+    sh, sl, sf = sp.xsort((ah, al, nf), num_keys=3)
     is_sent = (sh == sent) & (sl == sent)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
     keep = first & ~is_sent
     kh = jnp.where(keep, sh, sent)
     kl = jnp.where(keep, sl, sent)
-    oh, ol = sp.xsort((kh, kl), num_keys=2)
+    kf = jnp.where(keep, jnp.uint8(1) - sf, jnp.uint8(0))
+    oh, ol, of_ = sp.xsort((kh, kl, kf), num_keys=2)
     cap = store_hi.shape[0]
     n_store = jnp.sum(keep, dtype=jnp.int64)
-    return (oh[:cap], ol[:cap], n_store,
+    return (oh[:cap], ol[:cap], of_[:cap], n_store,
             jnp.full_like(pend_hi, sent), jnp.full_like(pend_lo, sent),
-            jnp.full_like(pend_key, sent))
+            jnp.full_like(pend_key, sent),
+            jnp.zeros_like(pend_seed))
 
 
 def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
@@ -163,7 +196,12 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
                   super_batch: int = 8, node_cap: int | None = None,
                   pend_supers: int = 8):
     """Distinct solid canonical k-mers over all read batches -> sorted
-    (hi, lo) numpy arrays.  Device-resident dedup; one D2H at the end.
+    (hi, lo, seed) numpy arrays (seed: uint8, 1 iff the k-mer is some
+    read's middle k-mer — the reference's traversal seed set,
+    contig_assembly.cpp:2068-2080).  Device-resident dedup; one D2H at the
+    end.  Batches without seed_col metadata contribute no seeds; if NO
+    batch carried seed metadata the caller should fall back to the
+    component-contains-solid rule (assemble_unitigs_arrays).
 
     Supersteps stage candidate windows into a pending buffer sized for
     ~pend_supers supersteps; the count filter (query_join, one O(C)-element
@@ -187,46 +225,51 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
 
     store_hi = jnp.full((node_cap,), _U64(NODE_SENTINEL))
     store_lo = jnp.full((node_cap,), _U64(NODE_SENTINEL))
+    store_seed = jnp.zeros((node_cap,), jnp.uint8)
     n_store = jnp.zeros((), jnp.int64)
     # running device-side peak: a mid-run flush can overflow (truncating
     # the largest keys) and later flushes can land back at or below cap,
     # so the *final* n_store alone cannot prove no truncation happened
     n_peak = jnp.zeros((), jnp.int64)
 
-    pend_hi = pend_lo = pend_key = None
+    pend_hi = pend_lo = pend_key = pend_seed = None
     pend_cap = 0
     pend_upper = 0  # host-side upper bound on n_pend: no per-superstep sync
     n_pend = jnp.zeros((), jnp.int64)
+    saw_seed_meta = False
 
-    stack_p, stack_m, stack_l = [], [], []
+    stack_p, stack_m, stack_l, stack_s = [], [], [], []
     rows = 0
     Lp = None
 
     def flush_pending():
-        nonlocal store_hi, store_lo, n_store, n_peak
-        nonlocal pend_hi, pend_lo, pend_key, n_pend, pend_upper
-        store_hi, store_lo, n_store, pend_hi, pend_lo, pend_key = \
-            _flush_pending(spec, store_hi, store_lo,
-                           pend_hi, pend_lo, pend_key,
-                           key_bits, abundance_min)
+        nonlocal store_hi, store_lo, store_seed, n_store, n_peak
+        nonlocal pend_hi, pend_lo, pend_key, pend_seed, n_pend, pend_upper
+        (store_hi, store_lo, store_seed, n_store,
+         pend_hi, pend_lo, pend_key, pend_seed) = _flush_pending(
+            spec, store_hi, store_lo, store_seed,
+            pend_hi, pend_lo, pend_key, pend_seed,
+            key_bits, abundance_min)
         n_peak = jnp.maximum(n_peak, n_store)
         n_pend = jnp.zeros((), jnp.int64)
         pend_upper = 0
 
     def stage():
-        nonlocal pend_hi, pend_lo, pend_key, n_pend, pend_cap, pend_upper
-        nonlocal stack_p, stack_m, stack_l, rows
+        nonlocal pend_hi, pend_lo, pend_key, pend_seed
+        nonlocal n_pend, pend_cap, pend_upper
+        nonlocal stack_p, stack_m, stack_l, stack_s, rows
         if not stack_p:
             return
         packed = np.concatenate(stack_p, axis=0)
         nmask = np.concatenate(stack_m, axis=0)
         lens = np.concatenate(stack_l, axis=0)
+        seedc = np.concatenate(stack_s, axis=0)
         nq = packed.shape[0] * (Lp - k + 1)
         if pend_hi is not None and nq > pend_cap:
             # a later superstep outgrew the first one's sizing: drain and
             # reallocate (rare — only mixed batch_rows streams hit this)
             flush_pending()
-            pend_hi = pend_lo = pend_key = None
+            pend_hi = pend_lo = pend_key = pend_seed = None
         if pend_hi is None:
             pend_cap = 1 << int(np.ceil(np.log2(max(nq, 1024))))
             while pend_cap < pend_supers * nq and pend_cap * 2 <= \
@@ -235,15 +278,17 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
             pend_hi = jnp.full((pend_cap,), _U64(NODE_SENTINEL))
             pend_lo = jnp.full((pend_cap,), _U64(NODE_SENTINEL))
             pend_key = jnp.full((pend_cap,), _U64(NODE_SENTINEL))
+            pend_seed = jnp.zeros((pend_cap,), jnp.uint8)
         # flush BEFORE staging when this superstep might not fit; pend_upper
         # is a host-side worst case so no device sync is needed
         if pend_upper + nq > pend_cap:
             flush_pending()
-        pend_hi, pend_lo, pend_key, n_pend = _stage_super(
-            pend_hi, pend_lo, pend_key, n_pend, jnp.asarray(packed),
-            jnp.asarray(nmask), jnp.asarray(lens), k, key_bits, Lp)
+        pend_hi, pend_lo, pend_key, pend_seed, n_pend = _stage_super(
+            pend_hi, pend_lo, pend_key, pend_seed, n_pend,
+            jnp.asarray(packed), jnp.asarray(nmask), jnp.asarray(lens),
+            jnp.asarray(seedc), k, key_bits, Lp)
         pend_upper += nq
-        stack_p, stack_m, stack_l = [], [], []
+        stack_p, stack_m, stack_l, stack_s = [], [], [], []
         rows = 0
 
     for b in batches:
@@ -275,6 +320,11 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
         stack_p.append(p_)
         stack_m.append(m_)
         stack_l.append(b.lengths)
+        if b.seed_col is not None:
+            saw_seed_meta = True
+            stack_s.append(np.asarray(b.seed_col, np.int32))
+        else:
+            stack_s.append(np.full(batch_rows, -1, np.int32))
         rows += batch_rows
         if rows >= super_batch * batch_rows:
             stage()
@@ -289,8 +339,10 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
             f"{node_cap}; pass a larger node_cap")
     n = int(n_store)
     if n == 0:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    return np.asarray(store_hi[:n]), np.asarray(store_lo[:n])
+        return (np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+                np.zeros(0, np.uint8) if saw_seed_meta else None)
+    return (np.asarray(store_hi[:n]), np.asarray(store_lo[:n]),
+            np.asarray(store_seed[:n]) if saw_seed_meta else None)
 
 
 # --------------------------------------------------------------------------
@@ -318,6 +370,139 @@ def _rol(x, s: int):
     return (x << _U64(s)) | (x >> _U64(64 - s))
 
 
+def _succ_probes(hi, lo, rhi, rlo, fh0, rh0, k: int, mask):
+    """The 8 successor probes of both orientations of every node: the
+    batched form of get_unitig_forward's point queries
+    (contig_assembly.cpp:3064-3120).
+
+    Returns (probe_keys[8] of u64[N], succ_hi[8], succ_lo[8] canonical
+    packed successor k-mers, succ_flip[8] int32 orientation flips).
+    """
+    seeds = nthash.seed_table()
+    cseeds = nthash.cseed_table()
+    probe_keys, succ_hi, succ_lo, succ_flip = [], [], [], []
+    for o in range(2):
+        ohi = hi if o == 0 else rhi
+        olo = lo if o == 0 else rlo
+        ofh = fh0 if o == 0 else rh0
+        orh = rh0 if o == 0 else fh0
+        out_b = kp.first_base(ohi, olo, k)
+        for X in range(4):
+            sfh = _rol(ofh, 1) ^ _rol(seeds[out_b], k % 64) ^ seeds[X]
+            srh = _rol(orh, 63) ^ _rol(cseeds[out_b], 63) ^ \
+                _rol(cseeds[X], (k - 1) % 64)
+            probe_keys.append(jnp.minimum(sfh, srh) & mask)
+            shi, slo = kp.shift_in_base(ohi, olo, jnp.uint64(X), k)
+            srchi, srclo = kp.revcomp_packed(shi, slo, k)
+            schi, sclo, sflip = kp.canonicalize(shi, slo, srchi, srclo)
+            succ_hi.append(schi)
+            succ_lo.append(sclo)
+            succ_flip.append(sflip.astype(jnp.int32))
+    return probe_keys, succ_hi, succ_lo, succ_flip
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "key_bits", "abundance_min"))
+def phantom_candidates(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
+                       abundance_min: int):
+    """Successor k-mers that pass the count filter but are NOT nodes yet.
+
+    The reference probes neighbors by HASH count only: a probe whose key
+    aliases a counted key spawns a real unitig of a k-mer that appears in
+    no read (get_unitig_forward candidates, contig_assembly.cpp:3140-3165).
+    These "phantom" nodes must join the node set for set parity; each round
+    returns the deduped phantom successors of the current set, and
+    close_over_phantoms iterates to the fixpoint (phantom chains extend
+    while collisions keep chaining — geometric, almost always 1-2 rounds).
+
+    Returns (ph_hi[N], ph_lo[N], n_new) — compacted, SENTINEL-padded.
+    """
+    N = hi.shape[0]
+    mask = _U64((1 << key_bits) - 1)
+    valid = ~((hi == _U64(NODE_SENTINEL)) & (lo == _U64(NODE_SENTINEL)))
+    fh0, rh0 = _node_hashes(hi, lo, k)
+    rhi, rlo = kp.revcomp_packed(hi, lo, k)
+    probe_keys, succ_hi, succ_lo, _ = _succ_probes(
+        hi, lo, rhi, rlo, fh0, rh0, k, mask)
+    # sibling candidates: the before-side spawns share the node's (k-1)-
+    # suffix (kmer = RC(current) with the last base replaced,
+    # contig_assembly.cpp:3140-3165) — NOT graph neighbors, so the
+    # successor probes alone miss them.  Hash by replacing the base-0 term
+    # of the ntHash XOR (seed rotated by k-1 / cseed unrotated).
+    seeds = nthash.seed_table()
+    cseeds = nthash.cseed_table()
+    for o in range(2):
+        ohi = hi if o == 0 else rhi
+        olo = lo if o == 0 else rlo
+        ofh = fh0 if o == 0 else rh0
+        orh = rh0 if o == 0 else fh0
+        t0 = kp.first_base(ohi, olo, k)
+        for Y in range(4):
+            sfh = ofh ^ _rol(seeds[t0], (k - 1) % 64) ^ \
+                _rol(seeds[Y], (k - 1) % 64)
+            srh = orh ^ cseeds[t0] ^ cseeds[Y]
+            probe_keys.append(jnp.minimum(sfh, srh) & mask)
+            whi, wlo = kp.replace_first_base(ohi, olo, jnp.uint64(Y), k)
+            wrchi, wrclo = kp.revcomp_packed(whi, wlo, k)
+            wchi, wclo, _wf = kp.canonicalize(whi, wlo, wrchi, wrclo)
+            succ_hi.append(wchi)
+            succ_lo.append(wclo)
+    P = len(succ_hi)  # 16 probes per node
+    all_j = kp.join2(hi, lo,
+                     jnp.concatenate(succ_hi),
+                     jnp.concatenate(succ_lo)).reshape(P, N)
+    counts8 = sp.query_join(
+        spec, jnp.concatenate(probe_keys), key_bits).reshape(P, N)
+    ph = (counts8 >= abundance_min) & (all_j < 0) & valid[None, :]
+    sent = _U64(NODE_SENTINEL)
+    ph_hi = jnp.where(ph.reshape(-1), jnp.concatenate(succ_hi), sent)
+    ph_lo = jnp.where(ph.reshape(-1), jnp.concatenate(succ_lo), sent)
+    sh, sl = sp.xsort((ph_hi, ph_lo), num_keys=2)
+    is_sent = (sh == sent) & (sl == sent)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
+    keep = first & ~is_sent
+    kh = jnp.where(keep, sh, sent)
+    kl = jnp.where(keep, sl, sent)
+    oh, ol = sp.xsort((kh, kl), num_keys=2)
+    return oh[:N], ol[:N], jnp.sum(keep, dtype=jnp.int64)
+
+
+def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
+                        key_bits: int, abundance_min: int,
+                        max_rounds: int = 8):
+    """Close the node set over phantom successors (see phantom_candidates).
+
+    Returns (hi, lo, n_phantoms) numpy arrays; appended phantoms keep the
+    input's sort-free tail order (build_oriented_graph never requires
+    sorted nodes, only join2 which sorts internally).
+    """
+    total_new = 0
+    for _ in range(max_rounds):
+        N = len(hi_np)
+        Np = 1 << max(int(np.ceil(np.log2(max(N, 1024)))), 10)
+        hp = np.full(Np, NODE_SENTINEL, np.uint64)
+        lp = np.full(Np, NODE_SENTINEL, np.uint64)
+        hp[:N] = hi_np
+        lp[:N] = lo_np
+        ph_h, ph_l, n_new = phantom_candidates(
+            spec, jnp.asarray(hp), jnp.asarray(lp), k, key_bits,
+            abundance_min)
+        n_new = int(n_new)
+        if n_new == 0:
+            break
+        hi_np = np.concatenate([hi_np, np.asarray(ph_h[:n_new])])
+        lo_np = np.concatenate([lo_np, np.asarray(ph_l[:n_new])])
+        total_new += n_new
+    else:
+        log(f"[Contiger] phantom closure not converged after "
+            f"{max_rounds} rounds ({total_new} added); continuing")
+    if total_new:
+        log(f"[Contiger] {total_new} phantom hash-collision nodes added "
+            f"(reference candidate semantics)")
+    return hi_np, lo_np, total_new
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "key_bits", "abundance_min"))
 def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
@@ -340,28 +525,11 @@ def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
 
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
 
-    seeds = nthash.seed_table()
-    cseeds = nthash.cseed_table()
     # Phase 1: all 8 successor-probe keys (the batched form of the 8 CQF
     # point queries per extended base, contig_assembly.cpp:3064-3120)
-    probe_keys = [node_keys]
-    succ_hi, succ_lo, succ_flip = [], [], []
-    for o in range(2):
-        ohi = hi if o == 0 else rhi
-        olo = lo if o == 0 else rlo
-        ofh = fh0 if o == 0 else rh0
-        orh = rh0 if o == 0 else fh0
-        out_b = kp.first_base(ohi, olo, k)
-        for X in range(4):
-            sfh = _rol(ofh, 1) ^ _rol(seeds[out_b], k % 64) ^ seeds[X]
-            srh = _rol(orh, 63) ^ _rol(cseeds[out_b], 63) ^ _rol(cseeds[X], (k - 1) % 64)
-            probe_keys.append(jnp.minimum(sfh, srh) & mask)
-            shi, slo = kp.shift_in_base(ohi, olo, jnp.uint64(X), k)
-            srchi, srclo = kp.revcomp_packed(shi, slo, k)
-            schi, sclo, sflip = kp.canonicalize(shi, slo, srchi, srclo)
-            succ_hi.append(schi)
-            succ_lo.append(sclo)
-            succ_flip.append(sflip.astype(jnp.int32))
+    probe_keys8, succ_hi, succ_lo, succ_flip = _succ_probes(
+        hi, lo, rhi, rlo, fh0, rh0, k, mask)
+    probe_keys = [node_keys] + probe_keys8
     # one sort-join resolves all 8N successor-index lookups (join2 replaces
     # per-probe binary search: gathers are ~100x a streaming sort on TPU)
     all_j = kp.join2(hi, lo,
@@ -708,12 +876,22 @@ def assemble_unitigs_arrays(
     k = params.k
     check_solid_cap(key_bits, params.solid_kmer_abundance_max)
     with profiling.phase("contiger:collect nodes"):
-        hi_np, lo_np = collect_nodes(spec, batches, k, key_bits,
-                                     params.kmer_abundance_min)
+        hi_np, lo_np, seed_np = collect_nodes(spec, batches, k, key_bits,
+                                              params.kmer_abundance_min)
     N = len(hi_np)
     log(f"[Contiger] {N} distinct solid k-mers")
     if N == 0:
         return ArrayUnitigs.empty(k)
+
+    # phantom hash-collision nodes (reference candidate semantics; see
+    # phantom_candidates)
+    with profiling.phase("contiger:phantom closure"):
+        hi_np, lo_np, _ = close_over_phantoms(
+            spec, hi_np, lo_np, k, key_bits, params.kmer_abundance_min)
+    N = len(hi_np)
+    if seed_np is not None and len(seed_np) < N:
+        seed_np = np.concatenate(
+            [seed_np, np.zeros(N - len(seed_np), np.uint8)])
 
     # pad to the next power of two so jit programs are reused across
     # datasets of similar size (sentinel nodes are masked inside)
@@ -722,6 +900,10 @@ def assemble_unitigs_arrays(
     lo_pad = np.full(Np, NODE_SENTINEL, np.uint64)
     hi_pad[:N] = hi_np
     lo_pad[:N] = lo_np
+    is_seed = None
+    if seed_np is not None:
+        is_seed = np.zeros(Np, bool)
+        is_seed[:N] = seed_np != 0
     hi = jnp.asarray(hi_pad)
     lo = jnp.asarray(lo_pad)
     with profiling.phase("contiger:probe graph"):
@@ -730,7 +912,8 @@ def assemble_unitigs_arrays(
         jax.block_until_ready(chain_next)
     real = np.zeros(Np, bool)
     real[:N] = True
-    return finalize_unitigs(hi, lo, real, node_counts, chain_next, params)
+    return finalize_unitigs(hi, lo, real, node_counts, chain_next, params,
+                            is_seed=is_seed)
 
 
 def finalize_unitigs(
@@ -740,6 +923,7 @@ def finalize_unitigs(
     node_counts: jax.Array,
     chain_next: jax.Array,
     params: cfg.ContigerParams,
+    is_seed: np.ndarray | None = None,
 ) -> ArrayUnitigs:
     """Contraction + vectorized host assembly, shared by the single-device
     and sharded Contiger paths.
@@ -747,6 +931,9 @@ def finalize_unitigs(
     hi/lo: padded node k-mers [Np] (SENTINEL holes allowed anywhere);
     real: bool[Np] live-node mask; chain_next: int32[2*Np] oriented
     successor indices (-1 = none) in the same global numbering.
+    is_seed: bool[Np], True where the node k-mer is some read's middle
+    k-mer (reference seed set); None = seed metadata unavailable, fall
+    back to the component-contains-solid rule.
     """
     k = params.k
     Np = hi.shape[0]
@@ -758,11 +945,11 @@ def finalize_unitigs(
         jax.block_until_ready(keep)
     with profiling.phase("contiger:host assembly"):
         return _finalize_host(hi, lo, rhi, rlo, real, node_counts,
-                              head, dist, keep, params)
+                              head, dist, keep, params, is_seed)
 
 
 def _finalize_host(hi, lo, rhi, rlo, real, node_counts,
-                   head, dist, keep, params):
+                   head, dist, keep, params, is_seed=None):
     k = params.k
     Np = hi.shape[0]
 
@@ -825,9 +1012,16 @@ def _finalize_host(hi, lo, rhi, rlo, real, node_counts,
     meanf = np.add.reduceat(counts_mem, starts).astype(np.float64) / lens
 
     # ---- solid seed flag per path (contig_assembly.cpp:2082) -------------
+    # the reference only STARTS traversal from read-MIDDLE k-mers whose
+    # count lies in [-x, -X] (contig_assembly.cpp:2068-2082); components
+    # unreachable from such a seed are never discovered.  When middle-kmer
+    # metadata is unavailable (hand-built batches), fall back to "any solid
+    # k-mer seeds" — a superset.
     smin = params.solid_kmer_abundance_min
     smax = params.solid_kmer_abundance_max
     seed_mem = (counts_mem >= smin) & (counts_mem <= smax)
+    if is_seed is not None:
+        seed_mem = seed_mem & np.asarray(is_seed)[node_i]
     path_seed = np.add.reduceat(seed_mem.astype(np.int64), starts) > 0
 
     # ---- select deduped paths --------------------------------------------
@@ -879,11 +1073,28 @@ def _finalize_host(hi, lo, rhi, rlo, real, node_counts,
     av4 = np.where(ja >= 0, key_val[np.maximum(ja, 0)], 0).reshape(4, P2)
     bv4 = np.where(jb >= 0, key_val[np.maximum(jb, 0)], 0).reshape(4, P2)
 
+    # ---- sibling discovery edges (connectivity only, never dumped) -------
+    # the reference SPAWNS before-candidates that share a tail junction's
+    # (k-1)-suffix (contig_assembly.cpp:3140-3165): a unitig discovered
+    # that way belongs to the discovering component even when no k-1
+    # overlap link exists (e.g. an isolated phantom sibling).  Probe the 4
+    # suffix-siblings of both mirror tails.
+    qs_hi = np.empty((8, P2), np.uint64)
+    qs_lo = np.empty((8, P2), np.uint64)
+    for X in range(4):
+        qs_hi[X], qs_lo[X] = kpn.replace_first_base(thi, tlo, X, k)
+        qs_hi[4 + X], qs_lo[4 + X] = kpn.replace_first_base(
+            rfhi, rflo, X, k)
+    jsib = kpn.join(key_hi, key_lo, qs_hi.reshape(-1), qs_lo.reshape(-1))
+    sv8 = np.where(jsib >= 0, key_val[np.maximum(jsib, 0)], 0).reshape(8, P2)
+
     # ---- component seed filter (-x/-X semantics) --------------------------
     self_idx = np.broadcast_to(np.arange(P2, dtype=np.int64), (4, P2))
+    self_idx8 = np.broadcast_to(np.arange(P2, dtype=np.int64), (8, P2))
     nbr = np.vstack([
         np.where(av4 != 0, np.abs(av4) - 1, self_idx),
         np.where(bv4 != 0, np.abs(bv4) - 1, self_idx),
+        np.where(sv8 != 0, np.abs(sv8) - 1, self_idx8),
     ])
     lab = _connected_components(nbr)
     comp_seeded = np.zeros(P2, bool)

@@ -129,6 +129,16 @@ def shift_in_base(hi: jax.Array, lo: jax.Array, base, k: int):
     return nhi, nlo
 
 
+def replace_first_base(hi: jax.Array, lo: jax.Array, base, k: int):
+    """Sibling k-mer: replace base 0 (bits 126..127 of hi, left-aligned).
+
+    Siblings share a junction (same k-1 suffix); the reference spawns them
+    as before-candidates at branch points (contig_assembly.cpp:3140-3165).
+    """
+    b = jnp.asarray(base).astype(_U64) & _U64(3)
+    return (hi & _U64(0x3FFFFFFFFFFFFFFF)) | (b << _U64(62)), lo
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def first_base(hi: jax.Array, lo: jax.Array, k: int):
     return (hi >> _U64(62)).astype(jnp.uint8)

@@ -62,6 +62,12 @@ def shift_in_base(hi: np.ndarray, lo: np.ndarray, base: int, k: int):
     return nhi, nlo
 
 
+def replace_first_base(hi: np.ndarray, lo: np.ndarray, base: int, k: int):
+    """Sibling k-mer: replace base 0 (bits 126..127 of hi, left-aligned)."""
+    b = _u(int(base) & 3)
+    return (hi & _u(0x3FFFFFFFFFFFFFFF)) | (b << _u(62)), lo
+
+
 def base_at(hi: np.ndarray, lo: np.ndarray, j: int, k: int) -> np.ndarray:
     """Base code at position j (0 = leftmost) of each packed k-mer."""
     bitpos = 126 - 2 * j

@@ -742,20 +742,23 @@ def merge_sized(spec: Spectrum, key_bits: int, fill: int,
     knows the exact fill (n_buf advances deterministically), so slice the
     live prefix and restore the full-size (empty) buffer afterwards.
 
-    DELIBERATELY coarse — the only prefix used is BC/16 (fill below
-    BC/16), else the full merge: every distinct prefix length is a whole
-    extra XLA program, and on backends without a persistent compile cache
-    (axon) a ~20 s compile to save a fraction of a second loses badly.
+    DELIBERATELY coarse — prefixes are limited to BC/16, BC/4, and the
+    full buffer (smallest that holds the fill): every distinct prefix
+    length is a whole extra XLA program, and on backends without a
+    persistent compile cache (axon) a ~20 s compile to save a fraction of
+    a second loses badly.  Callers with one finalize merge compile at
+    most one prefix program.
     """
     BC = spec.buf_capacity
-    M = BC // 16
-    if fill > M or M < (1 << 16):
-        return merge(spec, key_bits, drop_singletons)
-    small = spec._replace(buf_hi=spec.buf_hi[:M], buf_lo=spec.buf_lo[:M])
-    out = merge(small, key_bits, drop_singletons)
-    return out._replace(
-        buf_hi=jnp.full((BC,), SENT32, dtype=jnp.uint32),
-        buf_lo=jnp.full((BC,), SENT32, dtype=jnp.uint32))
+    for M in (BC // 16, BC // 4):
+        if fill <= M and M >= (1 << 16):
+            small = spec._replace(
+                buf_hi=spec.buf_hi[:M], buf_lo=spec.buf_lo[:M])
+            out = merge(small, key_bits, drop_singletons)
+            return out._replace(
+                buf_hi=jnp.full((BC,), SENT32, dtype=jnp.uint32),
+                buf_lo=jnp.full((BC,), SENT32, dtype=jnp.uint32))
+    return merge(spec, key_bits, drop_singletons)
 
 
 def to_host(spec: Spectrum, key_bits: int):

@@ -80,8 +80,8 @@ def count_sharded(
         raise ValueError(f"reads_per_batch {B} not divisible by mesh {n}")
 
     S = super_batch
-    scan = sc.count_scan_fn(S)
-    merge = sc.merge_fn()
+    scan = sc.append_scan_fn(S)
+    merge_sweep = sc.merge_sweep_fn()
     stats_of = sc.stats_fn()
     spec_v = sc.init()
     rounds_v = jax.device_put(
@@ -108,14 +108,23 @@ def count_sharded(
     fill = 0
     n_batches = 0
     dropped = 0
+    # HOST-DRIVEN merge cadence: every step appends a fixed routed block
+    # per shard (models/counter.build_spectrum design), so all processes
+    # mirror the same deterministic fill and dispatch the same collectives
+    routed_step = sc.routed_per_step(B // n, L)
+    BCl = sc.local_buf_capacity
+    host_nbuf = 0
 
     def flush():
-        nonlocal spec_v, rounds_v, fill, dropped
+        nonlocal spec_v, rounds_v, fill, dropped, host_nbuf
         nonlocal stack_c, stack_l
-        spec_v, rounds_v, _, dropped_v = scan(
-            spec_v, rounds_v,
-            jax.device_put(stack_c, row), jax.device_put(stack_l, row),
-            threshold)
+        if host_nbuf + fill * routed_step > BCl:
+            spec_v, rounds_v = merge_sweep(spec_v, rounds_v, threshold)
+            host_nbuf = 0
+        spec_v, dropped_v = scan(
+            spec_v,
+            jax.device_put(stack_c, row), jax.device_put(stack_l, row))
+        host_nbuf += S * routed_step
         dropped += int(np.asarray(dropped_v).sum())
         stack_c = np.full((S, B, L), 5, np.uint8)
         stack_l = np.zeros((S, B), np.int32)
@@ -135,13 +144,13 @@ def count_sharded(
             f"sharded scan dropped {dropped} routed keys: raise quota_slack "
             f"or local_buf_capacity")
 
-    spec_v = merge(spec_v)
+    # finalize merge + end-of-stream trigger parity (CQF_mt.h:858): the
+    # merge program itself checks the psum'd threshold and sweeps
+    spec_v, rounds_v = merge_sweep(spec_v, rounds_v, threshold)
     nd, ne = stats_of(spec_v)
-    # end-of-stream deNoise parity (CQF_mt.h:858): the scan handles
-    # in-stream triggers; a final crossing is swept here
     rl = int(np.asarray(rounds_v).reshape(-1)[0])
     sweeps = sizing.num_deNoise - rl
-    if (rl > 0 and nd >= sizing.ndistinct_for_deNoise) or sizing.end_deNoise:
+    if sizing.end_deNoise:
         spec_v = sc.merge_fn(drop_singletons=True)(spec_v)
         nd, ne = stats_of(spec_v)
         sweeps += 1

@@ -35,6 +35,7 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from ..models.counter import _mask_key_planes
 from ..ops import nthash, spectrum as sp
 
 _U64 = jnp.uint64
@@ -137,109 +138,151 @@ class ShardedCounter:
             out_specs=self._spec_pspec(), check_vma=False)
         return jax.jit(f, donate_argnums=(0,))
 
-    def count_scan_fn(self, S: int, quota_slack: float = 2.0):
-        """Fused sharded counting: one dispatch scans S batches, routing
-        keys to owner shards with a sorted all_to_all exchange.
+    def routed_per_step(self, rows_local: int, L: int,
+                        quota_slack: float = 2.0) -> int:
+        """Buffer slots appended per scan step on every shard (the padded
+        routed block n*Q; deterministic, so the HOST mirrors the merge
+        cadence exactly — see append_scan_fn)."""
+        n = self.n_shards
+        W = rows_local * (L - self.k + 1)
+        Q = int(np.ceil(W / n * quota_slack)) if n > 1 else W
+        return n * Q if n > 1 else Q
 
-        Per scan step and device: hash local reads -> single-operand sort
+    def append_scan_fn(self, S: int, quota_slack: float = 2.0):
+        """Fused sharded APPEND: one dispatch scans S batches, routing keys
+        to owner shards with a sorted all_to_all exchange — NO merge inside
+        the scan (an in-scan lax.cond re-materializes the carried spectrum
+        planes every step, models/counter.append_scan; merges are dispatched
+        by the host at the deterministic buffer cadence, merge_sweep_fn).
+
+        u32-plane hot path end to end: planes hash (no u64 vector
+        emulation), pair-plane routing sort, two u32 all_to_alls, plane
+        append (VERDICT r3 #5).
+
+        Per scan step and device: hash local reads -> (hi, lo) pair sort
         (keys sort by owner because owners are the top key bits) ->
         per-owner quota rows cut with dynamic slices -> all_to_all -> local
-        log append, with per-shard packed merges and globally-triggered
-        deNoise sweeps under lax.cond.  Traffic is O(quota_slack * keys)
-        instead of the all_gather path's O(n_shards * keys).
+        log append.  Traffic is O(quota_slack * keys) instead of the
+        all_gather path's O(n_shards * keys).
 
-        Returns jit fn (spec_v, rounds_v, codes[S,Bl,L], lengths[S,Bl],
-        threshold) -> (spec_v, rounds_v, merges_v, dropped_v); `dropped`
-        counts keys beyond a shard's quota in one step (must be 0; raise
-        quota_slack otherwise).
+        Returns jit fn (spec_v, codes[S,Bl,L], lengths[S,Bl]) ->
+        (spec_v, dropped_v); `dropped` counts keys beyond a shard's quota
+        (must be 0; raise quota_slack otherwise).  The caller guarantees
+        the buffer has S * routed_per_step headroom.
         """
         n = self.n_shards
         k, key_bits = self.k, self.key_bits
         shard_bits = self.shard_bits
-        mask = _U64((1 << key_bits) - 1)
-        owner_shift = _U64(key_bits - shard_bits) if shard_bits else None
-        BC = self.local_buf_capacity
 
-        def local_fn(spec_v, rounds_v, codes, lengths, threshold):
+        def local_fn(spec_v, codes, lengths):
             spec = spec_v._replace(
                 n_main=spec_v.n_main[0], n_buf=spec_v.n_buf[0],
                 ndistinct=spec_v.ndistinct[0], nelts=spec_v.nelts[0])
-            rl = rounds_v[0]
             W = codes.shape[1] * (codes.shape[2] - k + 1)
             Q = int(np.ceil(W / n * quota_slack)) if n > 1 else W
 
-            boundaries = jnp.asarray(
-                [(o << (key_bits - shard_bits)) if shard_bits else 0
-                 for o in range(n + 1)], dtype=jnp.uint64)
-            if not shard_bits:
-                boundaries = jnp.asarray([0, 1 << key_bits], dtype=jnp.uint64)
-
-            def sweep_fn(s):
-                return sp.sweep(s, key_bits)
-
             def body(carry, xs):
-                s, rl, merges, dropped = carry
+                s, dropped = carry
                 bcodes, blengths = xs
-                keys, valid = nthash.windowed_canonical(bcodes, blengths, k)
-                keys = jnp.where(valid, keys & mask, sp.SENTINEL).reshape(-1)
-                sortk = sp.xsort(keys)
-                padded = jnp.concatenate(
-                    [sortk, jnp.full((Q,), sp.SENTINEL, jnp.uint64)])
-                bounds = jnp.searchsorted(sortk, boundaries).astype(jnp.int32)
-                rows = []
-                drop = jnp.zeros((), jnp.int64)
-                for o in range(n):
-                    start, end = bounds[o], bounds[o + 1]
-                    cnt = end - start
-                    row = jax.lax.dynamic_slice(padded, (start,), (Q,))
-                    row = jnp.where(
-                        jnp.arange(Q, dtype=jnp.int32) < cnt, row, sp.SENTINEL)
-                    rows.append(row)
-                    drop = drop + jnp.maximum(cnt - Q, 0).astype(jnp.int64)
-                send = jnp.stack(rows)  # [n, Q]
+                kh, kl, valid = nthash.windowed_canonical_planes(
+                    bcodes, blengths, k)
+                kh, kl = _mask_key_planes(kh, kl, key_bits)
+                kh = jnp.where(valid, kh, sp.SENT32).reshape(-1)
+                kl = jnp.where(valid, kl, sp.SENT32).reshape(-1)
                 if n > 1:
-                    recv = jax.lax.all_to_all(
-                        send, "shard", split_axis=0, concat_axis=0,
-                        tiled=False)
+                    sh, sl = sp.xsort((kh, kl), num_keys=2)
+                    # owner = key >> (key_bits - shard_bits), from planes
+                    shift = key_bits - shard_bits
+                    if shift >= 32:
+                        owner = sh >> jnp.uint32(shift - 32)
+                    else:
+                        owner = (sh << jnp.uint32(32 - shift)) | \
+                            (sl >> jnp.uint32(shift))
+                    # sentinel rows must sort past every owner id
+                    owner = jnp.where(
+                        (sh == sp.SENT32) & (sl == sp.SENT32),
+                        jnp.uint32(n), owner)
+                    bounds = jnp.searchsorted(
+                        owner, jnp.arange(n + 1, dtype=jnp.uint32)
+                    ).astype(jnp.int32)
+                    iota = jnp.arange(Q, dtype=jnp.int32)
+                    pads = jnp.full((Q,), sp.SENT32, jnp.uint32)
+                    ph = jnp.concatenate([sh, pads])
+                    pl = jnp.concatenate([sl, pads])
+                    rows_h, rows_l = [], []
+                    drop = jnp.zeros((), jnp.int64)
+                    for o in range(n):
+                        start, end = bounds[o], bounds[o + 1]
+                        cnt = end - start
+                        rh = jax.lax.dynamic_slice(ph, (start,), (Q,))
+                        rl_ = jax.lax.dynamic_slice(pl, (start,), (Q,))
+                        live = iota < cnt
+                        rows_h.append(jnp.where(live, rh, sp.SENT32))
+                        rows_l.append(jnp.where(live, rl_, sp.SENT32))
+                        drop = drop + jnp.maximum(cnt - Q, 0).astype(
+                            jnp.int64)
+                    gh = jax.lax.all_to_all(
+                        jnp.stack(rows_h), "shard", split_axis=0,
+                        concat_axis=0, tiled=False).reshape(-1)
+                    gl = jax.lax.all_to_all(
+                        jnp.stack(rows_l), "shard", split_axis=0,
+                        concat_axis=0, tiled=False).reshape(-1)
                 else:
-                    recv = send
-                routed = recv.reshape(-1)
+                    gh, gl = kh, kl
+                    drop = jnp.zeros((), jnp.int64)
+                rvalid = ~((gh == sp.SENT32) & (gl == sp.SENT32))
+                s = sp.insert_planes(s, gh, gl, rvalid)
+                return (s, dropped + drop), ()
 
-                # global deNoise trigger from the last-merged distinct counts
-                gdist = jax.lax.psum(s.ndistinct, "shard")
-
-                def merge_and_sweep(args):
-                    s, rl, merges = args
-                    s = sp.merge(s, key_bits)
-                    do_sweep = (rl > 0) & (gdist >= threshold)
-                    s = jax.lax.cond(do_sweep, sweep_fn, lambda x: x, s)
-                    return s, rl - do_sweep.astype(rl.dtype), merges + 1
-
-                need = s.n_buf + routed.shape[0] > BC
-                s, rl, merges = jax.lax.cond(
-                    need, merge_and_sweep, lambda a: a, (s, rl, merges))
-                s = sp.insert(s, routed)
-                return (s, rl, merges, dropped + drop), ()
-
-            init = (spec, rl, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int64))
-            (spec, rl, merges, dropped), _ = jax.lax.scan(
-                body, init, (codes, lengths))
+            init = (spec, jnp.zeros((), jnp.int64))
+            (spec, dropped), _ = jax.lax.scan(body, init, (codes, lengths))
             return (
                 spec._replace(
                     n_main=spec.n_main[None], n_buf=spec.n_buf[None],
                     ndistinct=spec.ndistinct[None], nelts=spec.nelts[None]),
-                rl[None],
-                merges[None],
                 dropped[None],
             )
 
         f = shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(self._spec_pspec(), P("shard"),
-                      P(None, "shard"), P(None, "shard"), P()),
-            out_specs=(self._spec_pspec(), P("shard"), P("shard"), P("shard")),
+            in_specs=(self._spec_pspec(),
+                      P(None, "shard"), P(None, "shard")),
+            out_specs=(self._spec_pspec(), P("shard")),
             check_vma=False)
         return jax.jit(f, donate_argnums=(0,))
+
+    def merge_sweep_fn(self):
+        """jit fn(spec_v, rounds_v, threshold) -> (spec_v, rounds_v):
+        per-shard buffer merge + deNoise sweep when the psum'd global
+        distinct count crosses the threshold and rounds remain
+        (CQF_runtime_mt::needDeNoise, CQF_mt.h:307-313)."""
+        key_bits = self.key_bits
+
+        def local_fn(spec_v, rounds_v, threshold):
+            spec = spec_v._replace(
+                n_main=spec_v.n_main[0], n_buf=spec_v.n_buf[0],
+                ndistinct=spec_v.ndistinct[0], nelts=spec_v.nelts[0])
+            rl = rounds_v[0]
+            spec = sp.merge(spec, key_bits)
+            gdist = jax.lax.psum(spec.ndistinct, "shard")
+            do_sweep = (rl > 0) & (gdist >= threshold)
+            spec = jax.lax.cond(
+                do_sweep, lambda s: sp.sweep(s, key_bits), lambda s: s,
+                spec)
+            rl = rl - do_sweep.astype(rl.dtype)
+            return (
+                spec._replace(
+                    n_main=spec.n_main[None], n_buf=spec.n_buf[None],
+                    ndistinct=spec.ndistinct[None], nelts=spec.nelts[None]),
+                rl[None],
+            )
+
+        f = shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(self._spec_pspec(), P("shard"), P()),
+            out_specs=(self._spec_pspec(), P("shard")),
+            check_vma=False)
+        return jax.jit(f, donate_argnums=(0, 1))
 
     def merge_fn(self, drop_singletons: bool = False):
         key_bits = self.key_bits

@@ -184,20 +184,65 @@ class ShardedContiger:
         out = jnp.full((Q,), -1, jnp.int64).at[pos].set(rval, mode="drop")
         return out, d1
 
+    # -- shared helpers ----------------------------------------------------
+    def _route_and_merge(self, store_hi, store_lo, store_seed,
+                         chi, clo, nflag, n_valid_hint, Qc):
+        """Inside shard_map: route (kmer, inverted-seed-flag) triples to
+        their owner shards by top kmer bits, then dedup-merge into the
+        local sorted store (seed flags OR across duplicates via the
+        inverted-flag sort key).  Returns (hi, lo, seed, n_store, drop)."""
+        n = self.n_shards
+        Cl = self.node_cap_local
+        shard_bits = self.counter.shard_bits
+        if n > 1:
+            sh, sl, sf = sp.xsort((chi, clo, nflag), num_keys=2)
+            hb = jnp.asarray(
+                [(o << (64 - shard_bits)) if o < n
+                 else 0xFFFFFFFFFFFFFFFF for o in range(n + 1)],
+                dtype=jnp.uint64)
+            bounds = jnp.minimum(
+                jnp.searchsorted(sh, hb).astype(jnp.int32), n_valid_hint)
+            rh, d1 = _quota_rows(sh, bounds, n, Qc, U64MAX)
+            rl, _ = _quota_rows(sl, bounds, n, Qc, U64MAX)
+            rf, _ = _quota_rows(sf, bounds, n, Qc, jnp.uint8(1))
+            chi = _a2a(rh).reshape(-1)
+            clo = _a2a(rl).reshape(-1)
+            nflag = _a2a(rf).reshape(-1)
+        else:
+            d1 = jnp.zeros((), jnp.int64)
+
+        # merge + dedup into the local store (sorted, SENTINEL tail)
+        ah = jnp.concatenate([store_hi, chi])
+        al = jnp.concatenate([store_lo, clo])
+        nf = jnp.concatenate([jnp.uint8(1) - store_seed, nflag])
+        sh2, sl2, sf2 = sp.xsort((ah, al, nf), num_keys=3)
+        is_sent = (sh2 == U64MAX) & (sl2 == U64MAX)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (sh2[1:] != sh2[:-1]) | (sl2[1:] != sl2[:-1])])
+        keep = first & ~is_sent
+        kh = jnp.where(keep, sh2, U64MAX)
+        kl = jnp.where(keep, sl2, U64MAX)
+        kf = jnp.where(keep, jnp.uint8(1) - sf2, jnp.uint8(0))
+        oh, ol, of_ = sp.xsort((kh, kl, kf), num_keys=2)
+        n_store = jnp.sum(keep, dtype=jnp.int64)
+        return oh[:Cl], ol[:Cl], of_[:Cl], n_store, d1
+
     # -- phase A: sharded node collection ----------------------------------
     def collect_fn(self, B: int, Lp: int):
-        """jit fn(spec_v, store_hi, store_lo, packed[B,Lp/4], nmask, lengths)
-        -> (store_hi, store_lo, n_store_v, dropped_v); rows sharded."""
+        """jit fn(spec_v, store_hi, store_lo, store_seed, packed[B,Lp/4],
+        nmask, lengths, seed_cols)
+        -> (store_hi, store_lo, store_seed, n_store_v, dropped_v);
+        rows sharded."""
         n = self.n_shards
         k, key_bits = self.k, self.key_bits
-        Cl = self.node_cap_local
         mask = _U64((1 << key_bits) - 1)
         W = Lp - k + 1
         Bl = B // n
         Qc = int(np.ceil(Bl * W / max(n, 1) * self.quota_slack))
-        shard_bits = self.counter.shard_bits
 
-        def local_fn(spec_v, store_hi, store_lo, packed, nmask, lengths):
+        def local_fn(spec_v, store_hi, store_lo, store_seed,
+                     packed, nmask, lengths, seed_cols):
             spec = spec_v._replace(
                 n_main=spec_v.n_main[0], n_buf=spec_v.n_buf[0],
                 ndistinct=spec_v.ndistinct[0], nelts=spec_v.nelts[0])
@@ -214,6 +259,8 @@ class ShardedContiger:
                 [jnp.zeros((SB, 1), jnp.int32), cbad[:, : W - 1]],
                 axis=1)) == 0
             solid = valid & nfree & (counts >= self.abundance_min)
+            is_seed = solid & (jnp.arange(W, dtype=jnp.int32)[None, :]
+                               == seed_cols[:, None])
 
             hi, lo = kp.pack_windows(codes, k)
             rhi, rlo = kp.revcomp_packed(hi, lo, k)
@@ -221,46 +268,99 @@ class ShardedContiger:
             flat = solid.reshape(-1)
             chi = jnp.where(flat, chi.reshape(-1), U64MAX)
             clo = jnp.where(flat, clo.reshape(-1), U64MAX)
-
-            # route to node owners by top kmer bits
-            if n > 1:
-                sh, sl = sp.xsort((chi, clo), num_keys=2)
-                n_valid = jnp.sum(flat, dtype=jnp.int32)
-                hb = jnp.asarray(
-                    [(o << (64 - shard_bits)) if o < n
-                     else 0xFFFFFFFFFFFFFFFF for o in range(n + 1)],
-                    dtype=jnp.uint64)
-                bounds = jnp.minimum(
-                    jnp.searchsorted(sh, hb).astype(jnp.int32), n_valid)
-                rh, d1 = _quota_rows(sh, bounds, n, Qc, U64MAX)
-                rl, _ = _quota_rows(sl, bounds, n, Qc, U64MAX)
-                chi = _a2a(rh).reshape(-1)
-                clo = _a2a(rl).reshape(-1)
-            else:
-                d1 = jnp.zeros((), jnp.int64)
-
-            # merge + dedup into the local store (sorted, SENTINEL tail)
-            ah = jnp.concatenate([store_hi, chi])
-            al = jnp.concatenate([store_lo, clo])
-            sh2, sl2 = sp.xsort((ah, al), num_keys=2)
-            is_sent = (sh2 == U64MAX) & (sl2 == U64MAX)
-            first = jnp.concatenate(
-                [jnp.ones((1,), bool),
-                 (sh2[1:] != sh2[:-1]) | (sl2[1:] != sl2[:-1])])
-            keep = first & ~is_sent
-            kh = jnp.where(keep, sh2, U64MAX)
-            kl = jnp.where(keep, sl2, U64MAX)
-            oh, ol = sp.xsort((kh, kl), num_keys=2)
-            n_store = jnp.sum(keep, dtype=jnp.int64)
-            return (oh[:Cl], ol[:Cl], n_store[None], (d0 + d1)[None])
+            nflag = jnp.where(is_seed.reshape(-1), jnp.uint8(0),
+                              jnp.uint8(1))
+            n_valid = jnp.sum(flat, dtype=jnp.int32)
+            oh, ol, of_, n_store, d1 = self._route_and_merge(
+                store_hi, store_lo, store_seed, chi, clo, nflag,
+                n_valid, Qc)
+            return (oh, ol, of_, n_store[None], (d0 + d1)[None])
 
         f = shard_map(
             local_fn, mesh=self.mesh,
             in_specs=(self.counter._spec_pspec(), P("shard"), P("shard"),
-                      P("shard"), P("shard"), P("shard")),
-            out_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+                      P("shard"), P("shard"), P("shard"), P("shard"),
+                      P("shard")),
+            out_specs=(P("shard"),) * 5,
             check_vma=False)
-        return jax.jit(f, donate_argnums=(1, 2))
+        return jax.jit(f, donate_argnums=(1, 2, 3))
+
+    # -- phase A2: sharded phantom closure ---------------------------------
+    def phantom_fn(self):
+        """jit fn(spec_v, store_hi, store_lo, store_seed) ->
+        (store_hi, store_lo, store_seed, n_store_v, n_new_v, dropped_v).
+
+        One closure round of contiger.phantom_candidates over the mesh:
+        each shard probes its nodes' 16 candidate k-mers (8 successors of
+        both orientations + 8 suffix-siblings, the reference's candidate
+        spawns, contig_assembly.cpp:3140-3165), keeps the count-passing
+        ones absent from the distributed node table, and routes them to
+        their owner shards.  Iterate until n_new == 0
+        (assemble_unitigs_sharded).
+        """
+        n = self.n_shards
+        k, key_bits = self.k, self.key_bits
+        Cl = self.node_cap_local
+        mask = _U64((1 << key_bits) - 1)
+        Qc = int(np.ceil(16 * Cl / max(n, 1) * self.quota_slack))
+
+        def local_fn(spec_v, store_hi, store_lo, store_seed):
+            spec = spec_v._replace(
+                n_main=spec_v.n_main[0], n_buf=spec_v.n_buf[0],
+                ndistinct=spec_v.ndistinct[0], nelts=spec_v.nelts[0])
+            hi, lo = store_hi, store_lo
+            valid = ~((hi == U64MAX) & (lo == U64MAX))
+            fh0, rh0 = contiger._node_hashes(hi, lo, k)
+            rhi, rlo = kp.revcomp_packed(hi, lo, k)
+            probe_keys, succ_hi, succ_lo, _ = contiger._succ_probes(
+                hi, lo, rhi, rlo, fh0, rh0, k, mask)
+            seeds = nthash.seed_table()
+            cseeds = nthash.cseed_table()
+            for o in range(2):
+                ohi = hi if o == 0 else rhi
+                olo = lo if o == 0 else rlo
+                ofh = fh0 if o == 0 else rh0
+                orh = rh0 if o == 0 else fh0
+                t0 = kp.first_base(ohi, olo, k)
+                for Y in range(4):
+                    sfh = ofh ^ contiger._rol(seeds[t0], (k - 1) % 64) ^ \
+                        contiger._rol(seeds[Y], (k - 1) % 64)
+                    srh = orh ^ cseeds[t0] ^ cseeds[Y]
+                    probe_keys.append(jnp.minimum(sfh, srh) & mask)
+                    whi, wlo = kp.replace_first_base(
+                        ohi, olo, jnp.uint64(Y), k)
+                    wrchi, wrclo = kp.revcomp_packed(whi, wlo, k)
+                    wchi, wclo, _wf = kp.canonicalize(whi, wlo, wrchi,
+                                                      wrclo)
+                    succ_hi.append(wchi)
+                    succ_lo.append(wclo)
+            Pn = len(succ_hi)
+            vall = jnp.tile(valid, Pn)
+            pk = jnp.where(vall, jnp.concatenate(probe_keys), sp.SENTINEL)
+            all_j, dj = self._dist_join(
+                hi, lo, jnp.concatenate(succ_hi), jnp.concatenate(succ_lo),
+                vall, Qc)
+            cnts, dc = self._dist_counts(spec, pk, Qc)
+            ph = (cnts >= self.abundance_min) & (all_j < 0) & vall
+            chi = jnp.where(ph, jnp.concatenate(succ_hi), U64MAX)
+            clo = jnp.where(ph, jnp.concatenate(succ_lo), U64MAX)
+            nflag = jnp.ones(chi.shape, jnp.uint8)  # phantoms never seed
+            n_valid = jnp.sum(ph, dtype=jnp.int32)
+            old_n = jnp.sum(valid, dtype=jnp.int64)
+            oh, ol, of_, n_store, d1 = self._route_and_merge(
+                store_hi, store_lo, store_seed, chi, clo, nflag,
+                n_valid, Qc)
+            n_new = jax.lax.psum(n_store - old_n, "shard")
+            return (oh, ol, of_, n_store[None], n_new[None],
+                    (dj + dc + d1)[None])
+
+        f = shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(self.counter._spec_pspec(), P("shard"), P("shard"),
+                      P("shard")),
+            out_specs=(P("shard"),) * 6,
+            check_vma=False)
+        return jax.jit(f, donate_argnums=(1, 2, 3))
 
     # -- phase B: sharded probe/graph build --------------------------------
     def probe_fn(self):
@@ -384,10 +484,13 @@ def assemble_unitigs_sharded(
         np.full((n * node_cap_local,), 0xFFFFFFFFFFFFFFFF, np.uint64), row_sh)
     store_lo = jax.device_put(
         np.full((n * node_cap_local,), 0xFFFFFFFFFFFFFFFF, np.uint64), row_sh)
+    store_seed = jax.device_put(
+        np.zeros((n * node_cap_local,), np.uint8), row_sh)
     n_peak = 0
     collect = None
     B = Lp = None
     dropped_total = 0
+    saw_seed_meta = False
     for b in batches:
         if isinstance(b, fastq.PackedBatch):
             # native transport format: already 2-bit packed + N-masked
@@ -409,10 +512,16 @@ def assemble_unitigs_sharded(
             collect = st.collect_fn(B, Lp)
         if Lp_b != Lp or rows != B:
             raise ValueError("mixed batch geometry")
-        store_hi, store_lo, n_store_v, dropped_v = collect(
-            spec_v, store_hi, store_lo,
+        if b.seed_col is not None:
+            saw_seed_meta = True
+            seedc = np.asarray(b.seed_col, np.int32)
+        else:
+            seedc = np.full(rows, -1, np.int32)
+        store_hi, store_lo, store_seed, n_store_v, dropped_v = collect(
+            spec_v, store_hi, store_lo, store_seed,
             jax.device_put(packed, row_sh), jax.device_put(nmask, row_sh),
-            jax.device_put(b.lengths, row_sh))
+            jax.device_put(b.lengths, row_sh),
+            jax.device_put(seedc, row_sh))
         n_peak = max(n_peak, int(np.asarray(n_store_v).max()))
         dropped_total += int(np.asarray(dropped_v).sum())
     if collect is None:
@@ -425,6 +534,29 @@ def assemble_unitigs_sharded(
         raise RuntimeError(
             f"node store overflow: shard peak {n_peak} reached cap "
             f"{node_cap_local}; pass a larger node_cap_local")
+
+    # ---- phase A2: phantom closure ----------------------------------------
+    phantom = st.phantom_fn()
+    for _round in range(8):
+        (store_hi, store_lo, store_seed, n_store_v, n_new_v,
+         dropped_v) = phantom(spec_v, store_hi, store_lo, store_seed)
+        if int(np.asarray(dropped_v).sum()):
+            raise RuntimeError(
+                "sharded phantom closure dropped routed k-mers: raise "
+                "quota_slack")
+        n_peak = max(n_peak, int(np.asarray(n_store_v).max()))
+        if n_peak >= node_cap_local:
+            raise RuntimeError(
+                f"node store overflow during phantom closure: shard peak "
+                f"{n_peak} reached cap {node_cap_local}")
+        n_new = int(np.asarray(n_new_v).max())
+        if n_new == 0:
+            break
+        log(f"[Contiger/sharded] phantom closure round {_round + 1}: "
+            f"{n_new} nodes added")
+    else:
+        log("[Contiger/sharded] phantom closure not converged after 8 "
+            "rounds; continuing")
 
     # ---- phase B ----------------------------------------------------------
     probe = st.probe_fn()
@@ -452,7 +584,8 @@ def assemble_unitigs_sharded(
     real = np.asarray(valid)
     log(f"[Contiger/sharded] {int(real.sum())} distinct solid k-mers over "
         f"{n} shards (peak shard fill {n_peak}/{node_cap_local})")
+    is_seed = (np.asarray(store_seed) != 0) if saw_seed_meta else None
     return contiger.finalize_unitigs(
         jnp.asarray(np.asarray(store_hi)), jnp.asarray(np.asarray(store_lo)),
         real, jnp.asarray(np.asarray(node_counts)),
-        jnp.asarray(chain_next), params)
+        jnp.asarray(chain_next), params, is_seed=is_seed)

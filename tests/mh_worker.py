@@ -58,7 +58,7 @@ sc = sharded.ShardedCounter(
     mesh=mesh, k=K, key_bits=KEY_BITS,
     local_capacity=1 << 14, local_buf_capacity=1 << 14)
 spec = sc.init()
-scan = sc.count_scan_fn(S=2)
+scan = sc.append_scan_fn(S=2)
 merge = sc.merge_fn()
 
 # pack local reads into fixed [local_rows, L] batches; local_rows spans
@@ -78,10 +78,7 @@ codes = jax.make_array_from_process_local_data(
     s_stack, np.stack([b.codes for b in batches]), (2, global_rows, L))
 lengths = jax.make_array_from_process_local_data(
     s_stack, np.stack([b.lengths for b in batches]), (2, global_rows))
-rounds = jax.device_put(
-    np.zeros(n_dev, np.int32), NamedSharding(mesh, P("shard")))
-threshold = np.int64(1 << 62)
-spec, rounds, merges, dropped = scan(spec, rounds, codes, lengths, threshold)
+spec, dropped = scan(spec, codes, lengths)
 assert all(int(np.asarray(s.data)[0]) == 0
            for s in dropped.addressable_shards)
 spec = merge(spec)

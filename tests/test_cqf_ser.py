@@ -136,3 +136,41 @@ def test_roundtrip_generic_bits_per_slot(tmp_path, rng, qb, hb):
     np.testing.assert_array_equal(keys, k2)
     np.testing.assert_array_equal(counts, c2)
     np.testing.assert_array_equal(trav, t2)
+
+
+@pytest.mark.parametrize("qb,hb,max_count", [
+    (14, 22, 300),        # default 8-bit slots
+    (14, 26, 100_000),    # 12-bit slots, multi-digit counters
+    (13, 21, 2),          # all-singleton
+])
+def test_native_transcoder_matches_python(tmp_path, rng, qb, hb, max_count):
+    """The streaming C++ transcoder (cpp/cqf_ser.cpp) must produce
+    byte-identical files to the numpy specification writer and decode
+    identically to the numpy reader."""
+    if cqf_ser._native_lib() is None:
+        pytest.skip("native transcoder unavailable")
+    n = 4000
+    keys = np.unique(rng.integers(0, 1 << hb, size=n).astype(np.uint64))
+    counts = rng.integers(1, max_count + 1, size=len(keys)).astype(np.int64)
+    trav = (rng.random(len(keys)) < 0.3).astype(np.uint8)
+
+    p_native = str(tmp_path / "native.ser")
+    p_python = str(tmp_path / "python.ser")
+    cqf_ser.write_ser_native(p_native, keys, counts, qb=qb, key_bits=hb,
+                             traveled=trav)
+    cqf_ser.write_ser_py(p_python, keys, counts, qb=qb, key_bits=hb,
+                         traveled=trav)
+    a = open(p_native, "rb").read()
+    b = open(p_python, "rb").read()
+    assert a == b, "native writer output differs from the numpy spec"
+
+    m1, k1, c1, t1 = cqf_ser.read_ser_native(p_python)
+    m2, k2, c2, t2 = cqf_ser.read_ser_py(p_python)
+    assert np.array_equal(k1, k2)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(t1, t2)
+    assert (m1.nelts, m1.ndistinct_elts) == (m2.nelts, m2.ndistinct_elts)
+    # small-chunk streaming exercises the pending spill path
+    m3, k3, c3, t3 = cqf_ser.read_ser_native(p_python, chunk=37)
+    assert np.array_equal(k3, k2) and np.array_equal(c3, c2)
+    assert np.array_equal(t3, t2)

@@ -74,9 +74,7 @@ def test_sharded_scan_all_to_all(rng, n_shards):
         mesh=sharded.make_mesh(n_shards), k=K, key_bits=QB + 8,
         local_capacity=8192, local_buf_capacity=1 << 14)
     spec = sc.init()
-    fn = sc.count_scan_fn(S)
-    rl = jnp.zeros((n_shards,), jnp.int32)
-    threshold = jnp.asarray(1 << 62, jnp.int64)
+    fn = sc.append_scan_fn(S)
 
     i = 0
     total_dropped = 0
@@ -97,7 +95,7 @@ def test_sharded_scan_all_to_all(rng, n_shards):
             jax.sharding.NamedSharding(
                 sc.mesh, jax.sharding.PartitionSpec(None, "shard")),
         )
-        spec, rl, merges, dropped = fn(spec, rl, dcodes, dlengths, threshold)
+        spec, dropped = fn(spec, dcodes, dlengths)
         total_dropped += int(np.asarray(dropped).sum())
         i += S
     assert total_dropped == 0

@@ -26,39 +26,77 @@ def solid_read_kmers(reads: list[str], k: int, count_of, abundance_min: int):
 
 def oracle_unitigs(reads: list[str], k: int, count_of, abundance_min: int = 2,
                    solid_min: int | None = None, solid_max: int | None = None):
-    """Canonical unitig sequence set via sequential walks.
+    """Canonical unitig sequence set via sequential walks with the
+    reference's exact discovery semantics (find_unitigs_mt_master +
+    get_unitig_forward, contig_assembly.cpp:2034-3218):
 
-    count_of(kmer_str) must return the abundance of a canonical k-mer (use
-    the same count source as the engine under test so collision semantics
-    agree).  Returns a set of canonical (min of seq/rc) unitig strings.
+      * traversal SEEDS only from the middle k-mer of each read, skipped
+        when N-containing or with count outside [solid_min, solid_max]
+        (defaults -x 2 / -X 1e6 when not given);
+      * extension/branch decisions use the COUNT filter alone (count of
+        the canonical hash >= abundance_min) — a probe whose key aliases a
+        counted key is a real candidate even if its k-mer appears in no
+        read ("phantom" nodes, possible because of hash collisions);
+      * the emitted set is the closure of the seeds over that implicit
+        graph.
 
-    With solid_min/solid_max set, models the reference's -x/-X seed rule
-    (contig_assembly.cpp:2082): traversal only *starts* from k-mers with
-    count in [solid_min, solid_max] but extends through any k-mer with
-    count >= abundance_min, so exactly the connected components containing
-    at least one solid k-mer are emitted.
+    count_of(kmer_str) must return the abundance of a canonical k-mer via
+    the same hash-keyed count source as the engine under test so collision
+    semantics agree.  Returns a set of canonical (min of seq/rc) unitig
+    strings.
     """
-    nodes = solid_read_kmers(reads, k, count_of, abundance_min)
+    if solid_min is None:
+        solid_min = 2
+    if solid_max is None:
+        solid_max = 1_000_000
+
+    # seed set: read-middle k-mers (contig_assembly.cpp:2068-2082)
+    seeds: set[str] = set()
+    for r in reads:
+        if len(r) < k:
+            continue
+        m = len(r) // 2
+        if m + k > len(r):
+            continue
+        km = r[m : m + k].upper()
+        if any(c not in "ACGT" for c in km):
+            continue
+        c = dna.canonical(km)
+        if solid_min <= count_of(c) <= solid_max:
+            seeds.add(c)
 
     def succs(km: str):
-        out = []
-        for X in "ACGT":
-            s = km[1:] + X
-            if count_of(dna.canonical(s)) >= abundance_min and dna.canonical(s) in nodes:
-                out.append(s)
-        return out
+        return [km[1:] + X for X in "ACGT"
+                if count_of(dna.canonical(km[1:] + X)) >= abundance_min]
 
     def preds(km: str):
-        out = []
-        for X in "ACGT":
-            p = X + km[:-1]
-            if count_of(dna.canonical(p)) >= abundance_min and dna.canonical(p) in nodes:
-                out.append(p)
-        return out
+        return [X + km[:-1] for X in "ACGT"
+                if count_of(dna.canonical(X + km[:-1])) >= abundance_min]
+
+    def siblings(km: str):
+        # suffix-sharing k-mers: spawned as before-candidates at a junction
+        # (contig_assembly.cpp:3140-3165) even without a k-1 overlap edge
+        return [X + km[1:] for X in "ACGT"
+                if X != km[0]
+                and count_of(dna.canonical(X + km[1:])) >= abundance_min]
+
+    # closure over the implicit count-filtered graph (phantoms included)
+    reach: set[str] = set()
+    frontier = list(seeds)
+    while frontier:
+        c = frontier.pop()
+        if c in reach:
+            continue
+        reach.add(c)
+        for base in (c, dna.revcomp(c)):
+            for nb in succs(base) + preds(base) + siblings(base):
+                cc = dna.canonical(nb)
+                if cc not in reach:
+                    frontier.append(cc)
 
     visited: set[str] = set()
     unitigs: set[str] = set()
-    for seed in sorted(nodes):
+    for seed in sorted(reach):
         if seed in visited:
             continue
         # walk backward to the start of the unbranched stretch
@@ -92,33 +130,4 @@ def oracle_unitigs(reads: list[str], k: int, count_of, abundance_min: int = 2,
         for i in range(len(seq) - k + 1):
             visited.add(dna.canonical(seq[i : i + k]))
         unitigs.add(dna.canonical(seq))
-
-    if solid_min is None:
-        return unitigs
-
-    # component seed filter: BFS closure over abundance_min adjacency from
-    # k-mers whose count lies in [solid_min, solid_max]
-    seeds = {n for n in nodes if solid_min <= count_of(n) <= solid_max}
-    reach: set[str] = set()
-    frontier = list(seeds)
-    while frontier:
-        cur = frontier.pop()
-        if cur in reach:
-            continue
-        reach.add(cur)
-        fwd = cur if cur == dna.canonical(cur) else dna.revcomp(cur)
-        for nb in succs(fwd) + preds(fwd):
-            c = dna.canonical(nb)
-            if c not in reach:
-                frontier.append(c)
-        rc = dna.revcomp(fwd)
-        for nb in succs(rc) + preds(rc):
-            c = dna.canonical(nb)
-            if c not in reach:
-                frontier.append(c)
-    kept = set()
-    for useq in unitigs:
-        if any(dna.canonical(useq[i:i + k]) in reach
-               for i in range(len(useq) - k + 1)):
-            kept.add(useq)
-    return kept
+    return unitigs
