@@ -81,9 +81,9 @@ def _stage_super(pend_hi, pend_lo, pend_key, pend_seed, n_pend, packed,
     """Stage one superstep of read rows into the pending candidate buffer.
 
     Extracts every valid N-free window's canonical packed k-mer plus its
-    hash key, dedups within the superstep (cheap: one SB*W-element sort),
-    and appends the compacted survivors at offset n_pend.  No spectrum
-    access — the expensive count filter and store merge are deferred to
+    hash key and appends the full block raw at offset n_pend (invalid
+    lanes as SENTINEL).  No sorts and no spectrum access on this path —
+    dedup, the count filter, and the store merge are deferred to
     _flush_pending so the O(C)-element sorts amortize over many
     supersteps (the reference instead pays a point query per window,
     processDataChunk, src/contig_assembly.cpp:1839-1924).
@@ -99,8 +99,11 @@ def _stage_super(pend_hi, pend_lo, pend_key, pend_seed, n_pend, packed,
     codes = packio.unpack(packed, nmask, L)
     SB = codes.shape[0]
     W = L - k + 1
-    keys, valid = nthash.windowed_canonical(codes, lengths, k)
-    keys = keys & _U64((1 << key_bits) - 1)
+    # u32-plane hash (the u64 formulation pays ~10x in vector emulation,
+    # ops/nthash module note); one u64 combine at the end is a single op
+    kh32, kl32, valid = nthash.windowed_canonical_planes(codes, lengths, k)
+    keys = ((kh32.astype(_U64) << _U64(32)) | kl32.astype(_U64)) \
+        & _U64((1 << key_bits) - 1)
 
     # windows containing any non-ACGT base are not graph nodes (the
     # reference skips N-containing seeds, contig_assembly.cpp:2068-2071)
@@ -116,35 +119,24 @@ def _stage_super(pend_hi, pend_lo, pend_key, pend_seed, n_pend, packed,
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
     chi, clo, _ = kp.canonicalize(hi, lo, rhi, rlo)
 
+    # RAW append, no within-superstep dedup: at production scale one
+    # superstep covers a sliver of the genome, so in-step duplicates are
+    # rare and the two 4-operand dedup sorts this replaced cost far more
+    # than the pending-buffer slots they saved (the flush sort dedups
+    # anyway, _flush_pending).
     flat = ok.reshape(-1)
     sent = _U64(NODE_SENTINEL)
-    chi = jnp.where(flat, chi.reshape(-1), sent)
-    clo = jnp.where(flat, clo.reshape(-1), sent)
-    ckey = jnp.where(flat, keys.reshape(-1), sent)
-    # inverted flag as a sort key: within a duplicate run the seed-flagged
-    # copy sorts first, so keep-first ORs the flags
-    nflag = jnp.where(is_seed.reshape(-1), jnp.uint8(0), jnp.uint8(1))
-
-    # within-superstep dedup + compaction: sort by (hi, lo) pair (hash key
-    # rides along), keep the first of each run, re-sort kills to the tail
-    sh, sl, sf, sk = sp.xsort((chi, clo, nflag, ckey), num_keys=3)
-    is_sent = (sh == sent) & (sl == sent)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
-    keep = first & ~is_sent
-    kh = jnp.where(keep, sh, sent)
-    kl = jnp.where(keep, sl, sent)
-    kf = jnp.where(keep, jnp.uint8(1) - sf, jnp.uint8(0))
-    kk = jnp.where(keep, sk, sent)
-    oh, ol, okf, okk = sp.xsort((kh, kl, kf, kk), num_keys=2)
-    m = jnp.sum(keep, dtype=jnp.int64)
+    oh = jnp.where(flat, chi.reshape(-1), sent)
+    ol = jnp.where(flat, clo.reshape(-1), sent)
+    okk = jnp.where(flat, keys.reshape(-1), sent)
+    okf = jnp.where(is_seed.reshape(-1), jnp.uint8(1), jnp.uint8(0))
 
     off = n_pend.astype(jnp.int32)
     pend_hi = jax.lax.dynamic_update_slice(pend_hi, oh, (off,))
     pend_lo = jax.lax.dynamic_update_slice(pend_lo, ol, (off,))
     pend_key = jax.lax.dynamic_update_slice(pend_key, okk, (off,))
     pend_seed = jax.lax.dynamic_update_slice(pend_seed, okf, (off,))
-    return pend_hi, pend_lo, pend_key, pend_seed, n_pend + m
+    return pend_hi, pend_lo, pend_key, pend_seed, n_pend + oh.shape[0]
 
 
 @functools.partial(
@@ -163,16 +155,26 @@ def _flush_pending(spec: sp.Spectrum, store_hi, store_lo, store_seed,
     keep-first rule that dedups against the store; seed flags OR across
     duplicates via the inverted-flag sort key.
     """
-    counts = sp.query_join(spec, pend_key, key_bits)  # SENTINEL keys -> 0
-    solid = counts >= abundance_min
     sent = _U64(NODE_SENTINEL)
-    chi = jnp.where(solid, pend_hi, sent)
-    clo = jnp.where(solid, pend_lo, sent)
+    if sp._pallas_available():
+        # sort pending by KEY with the kmer/seed payloads, then stream the
+        # sorted queries through the merge-join kernel (query_join_sorted):
+        # replaces query_join's O(C+P) concatenation sort with an O(P)
+        # sort + linear kernel pass; downstream re-sorts by kmer anyway
+        sk, p_hi, p_lo, p_seed = sp.xsort(
+            (pend_key, pend_hi, pend_lo, pend_seed), num_keys=1)
+        counts = sp.query_join_sorted(spec, sk, key_bits)
+    else:
+        counts = sp.query_join(spec, pend_key, key_bits)
+        p_hi, p_lo, p_seed = pend_hi, pend_lo, pend_seed
+    solid = counts >= abundance_min
+    chi = jnp.where(solid, p_hi, sent)
+    clo = jnp.where(solid, p_lo, sent)
 
     ah = jnp.concatenate([store_hi, chi])
     al = jnp.concatenate([store_lo, clo])
     nf = jnp.concatenate([jnp.uint8(1) - store_seed,
-                          jnp.where(solid, jnp.uint8(1) - pend_seed,
+                          jnp.where(solid, jnp.uint8(1) - p_seed,
                                     jnp.uint8(1))])
     sh, sl, sf = sp.xsort((ah, al, nf), num_keys=3)
     is_sent = (sh == sent) & (sl == sent)
@@ -403,19 +405,21 @@ def _succ_probes(hi, lo, rhi, rlo, fh0, rh0, k: int, mask):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "key_bits", "abundance_min"))
-def phantom_candidates(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
-                       abundance_min: int):
-    """Successor k-mers that pass the count filter but are NOT nodes yet.
+def phantom_candidates(spec: sp.Spectrum, store_hi, store_lo, hi, lo,
+                       k: int, key_bits: int, abundance_min: int):
+    """Successor k-mers of the FRONTIER (hi, lo) that pass the count filter
+    but are not in the node store (store_hi, store_lo).
 
     The reference probes neighbors by HASH count only: a probe whose key
     aliases a counted key spawns a real unitig of a k-mer that appears in
     no read (get_unitig_forward candidates, contig_assembly.cpp:3140-3165).
     These "phantom" nodes must join the node set for set parity; each round
-    returns the deduped phantom successors of the current set, and
+    probes only the nodes ADDED last round (round 1: everything) and
     close_over_phantoms iterates to the fixpoint (phantom chains extend
     while collisions keep chaining — geometric, almost always 1-2 rounds).
 
-    Returns (ph_hi[N], ph_lo[N], n_new) — compacted, SENTINEL-padded.
+    Returns (ph_hi[F], ph_lo[F], n_new) — compacted, SENTINEL-padded to
+    the frontier size.
     """
     N = hi.shape[0]
     mask = _U64((1 << key_bits) - 1)
@@ -448,10 +452,10 @@ def phantom_candidates(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
             succ_hi.append(wchi)
             succ_lo.append(wclo)
     P = len(succ_hi)  # 16 probes per node
-    all_j = kp.join2(hi, lo,
+    all_j = kp.join2(store_hi, store_lo,
                      jnp.concatenate(succ_hi),
                      jnp.concatenate(succ_lo)).reshape(P, N)
-    counts8 = sp.query_join(
+    counts8 = sp.query_join_auto(
         spec, jnp.concatenate(probe_keys), key_bits).reshape(P, N)
     ph = (counts8 >= abundance_min) & (all_j < 0) & valid[None, :]
     sent = _U64(NODE_SENTINEL)
@@ -473,26 +477,38 @@ def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
                         max_rounds: int = 8):
     """Close the node set over phantom successors (see phantom_candidates).
 
+    Rounds after the first probe only the frontier (last round's
+    additions): phantoms are ~0.1-0.3% of nodes, so re-probing the whole
+    set every round would multiply the dominant 16-probe join cost by the
+    round count for nothing.
+
     Returns (hi, lo, n_phantoms) numpy arrays; appended phantoms keep the
     input's sort-free tail order (build_oriented_graph never requires
     sorted nodes, only join2 which sorts internally).
     """
-    total_new = 0
-    for _ in range(max_rounds):
-        N = len(hi_np)
-        Np = 1 << max(int(np.ceil(np.log2(max(N, 1024)))), 10)
+    def padded(h, l):
+        n = len(h)
+        Np = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
         hp = np.full(Np, NODE_SENTINEL, np.uint64)
         lp = np.full(Np, NODE_SENTINEL, np.uint64)
-        hp[:N] = hi_np
-        lp[:N] = lo_np
+        hp[:n] = h
+        lp[:n] = l
+        return jnp.asarray(hp), jnp.asarray(lp)
+
+    total_new = 0
+    f_hi, f_lo = hi_np, lo_np  # round-1 frontier = everything
+    for _ in range(max_rounds):
+        sh, sl = padded(hi_np, lo_np)
+        fh, fl = padded(f_hi, f_lo)
         ph_h, ph_l, n_new = phantom_candidates(
-            spec, jnp.asarray(hp), jnp.asarray(lp), k, key_bits,
-            abundance_min)
+            spec, sh, sl, fh, fl, k, key_bits, abundance_min)
         n_new = int(n_new)
         if n_new == 0:
             break
-        hi_np = np.concatenate([hi_np, np.asarray(ph_h[:n_new])])
-        lo_np = np.concatenate([lo_np, np.asarray(ph_l[:n_new])])
+        f_hi = np.asarray(ph_h[:n_new])
+        f_lo = np.asarray(ph_l[:n_new])
+        hi_np = np.concatenate([hi_np, f_hi])
+        lo_np = np.concatenate([lo_np, f_lo])
         total_new += n_new
     else:
         log(f"[Contiger] phantom closure not converged after "
@@ -538,7 +554,7 @@ def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
     probe_meta = [(all_j[i], succ_flip[i]) for i in range(8)]
 
     # Phase 2: one sort-join answers all 9N count queries without gathers
-    all_counts = sp.query_join(
+    all_counts = sp.query_join_auto(
         spec, jnp.concatenate(probe_keys), key_bits
     ).reshape(9, N)
     node_counts = all_counts[0]
@@ -584,12 +600,54 @@ def build_oriented_graph(spec: sp.Spectrum, hi, lo, k: int, key_bits: int,
     return nsucc_a, chain_next, node_counts
 
 
+def contract_paths_host(chain_next: np.ndarray):
+    """Chain contraction on the host -> (head, dist, is_tail) numpy.
+
+    The contraction output feeds the host assembly pass anyway, and the
+    chain forest is pure paths/cycles, so a native sequential walk
+    (cpp/contract.cpp) beats ~log2(M) rounds of large device gathers by
+    ~10x.  Falls back to the jit pointer-jumping kernel (contract_paths)
+    when the native library is unavailable.  Semantics identical.
+    """
+    import ctypes
+
+    from ..io import native
+
+    cn = np.ascontiguousarray(np.asarray(chain_next), np.int32)
+    M = len(cn)
+    lib = native._load()
+    if lib is not None and hasattr(lib, "shc_contract"):
+        if not getattr(lib, "_shc_typed", False):
+            lib.shc_contract.restype = ctypes.c_int
+            lib.shc_contract.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib._shc_typed = True
+        head = np.empty(M, np.int32)
+        dist = np.empty(M, np.int32)
+        is_tail = np.empty(M, np.uint8)
+        rc = lib.shc_contract(
+            cn.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), M,
+            head.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            is_tail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == 0:
+            return (head.astype(np.int32), dist.astype(np.int32),
+                    is_tail.astype(bool))
+    h, d, t = contract_paths(jnp.asarray(cn))
+    return np.asarray(h), np.asarray(d), np.asarray(t)
+
+
 @jax.jit
 def contract_paths(chain_next: jax.Array):
     """Pointer-jumping contraction over the oriented chain forest.
 
     Returns (head[2N], dist[2N], is_tail[2N]).  Cycles are cut at their
-    minimum oriented index before the final doubling.
+    minimum oriented index before the final doubling.  Kept as the
+    device-capable fallback and cross-check for contract_paths_host
+    (tests/test_contiger.py::test_contract_host_matches_device).
     """
     M = chain_next.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
@@ -636,36 +694,6 @@ def contract_paths(chain_next: jax.Array):
         in_cycle & (chain_next == head)
     )
     return head, dist, is_tail
-
-
-@jax.jit
-def path_summary(head, dist, is_tail, hi, lo, rhi, rlo):
-    """Per-path bookkeeping: tail index, length, keep-mask for mirror dedup.
-
-    hi/lo/rhi/rlo are the node-level packed k-mers; oriented kmer of
-    a = 2i+o is (hi,lo)[i] if o==0 else (rhi,rlo)[i].
-    """
-    M = head.shape[0]
-    idx = jnp.arange(M, dtype=jnp.int32)
-    tail_of = jnp.zeros((M,), jnp.int32).at[
-        jnp.where(is_tail, head, M)
-    ].set(idx, mode="drop")
-    is_head = head == idx
-
-    def obits(a):
-        i, o = a >> 1, a & 1
-        return (
-            jnp.where(o == 0, hi[i], rhi[i]),
-            jnp.where(o == 0, lo[i], rlo[i]),
-        )
-
-    a = jnp.arange(M)
-    h_hi, h_lo = obits(a)
-    mirror = tail_of ^ 1  # flip orientation of the tail
-    m_hi, m_lo = obits(mirror)
-    keep = is_head & ((h_hi < m_hi) | ((h_hi == m_hi) & (h_lo <= m_lo)))
-    pathlen = jnp.where(is_head, dist[tail_of] + 1, 0)
-    return tail_of, pathlen, keep
 
 
 # --------------------------------------------------------------------------
@@ -936,16 +964,38 @@ def finalize_unitigs(
     back to the component-contains-solid rule.
     """
     k = params.k
-    Np = hi.shape[0]
     with profiling.phase("contiger:contract"):
-        head, dist, is_tail = contract_paths(chain_next)
-        rhi, rlo = kp.revcomp_packed(hi, lo, k)
-        _, _, keep = path_summary(
-            head, dist, is_tail, hi, lo, rhi, rlo)
-        jax.block_until_ready(keep)
+        head, dist, is_tail = contract_paths_host(chain_next)
+        hi_np = np.asarray(hi)
+        lo_np = np.asarray(lo)
+        rhi_np, rlo_np = kpn.revcomp_packed(hi_np, lo_np, k)
+        keep = _path_summary_np(head, is_tail, hi_np, lo_np,
+                                rhi_np, rlo_np)
     with profiling.phase("contiger:host assembly"):
-        return _finalize_host(hi, lo, rhi, rlo, real, node_counts,
-                              head, dist, keep, params, is_seed)
+        return _finalize_host(hi_np, lo_np, rhi_np, rlo_np, real,
+                              node_counts, head, dist, keep, params,
+                              is_seed)
+
+
+def _path_summary_np(head, is_tail, hi, lo, rhi, rlo):
+    """Numpy mirror-dedup keep rule (see path_summary): keep the oriented
+    path whose head k-mer is lexicographically <= its mirror's head."""
+    M = len(head)
+    idx = np.arange(M, dtype=np.int64)
+    tail_of = np.zeros(M, np.int64)
+    m = np.asarray(is_tail, bool)
+    tail_of[head[m]] = idx[m]
+    is_head = head == idx
+
+    def obits(a):
+        i, o = a >> 1, a & 1
+        return (np.where(o == 0, hi[i], rhi[i]),
+                np.where(o == 0, lo[i], rlo[i]))
+
+    h_hi, h_lo = obits(idx)
+    mirror = tail_of ^ 1
+    m_hi, m_lo = obits(mirror)
+    return is_head & ((h_hi < m_hi) | ((h_hi == m_hi) & (h_lo <= m_lo)))
 
 
 def _finalize_host(hi, lo, rhi, rlo, real, node_counts,

@@ -604,6 +604,60 @@ def query_join(spec: Spectrum, keys: jax.Array, key_bits: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("key_bits",))
+def query_join_sorted(spec: Spectrum, keys: jax.Array,
+                      key_bits: int) -> jax.Array:
+    """Counts for ASCENDING-sorted query keys (SENTINEL tail allowed).
+
+    On TPU this streams the already-sorted store and the sorted queries
+    through the merge-join kernel (ops/join_pallas): O(C + Q) instead of
+    query_join's O((C+Q) log(C+Q)) concatenation sort — the Contiger's
+    flush filter and probe phases live on this.  Other backends fall back
+    to query_join (orders don't matter to it).  SENTINEL queries -> 0.
+    """
+    keys = keys.reshape(-1)
+    if not _pallas_available():
+        return query_join(spec, keys, key_bits)
+    from . import join_pallas as jpl
+    from . import merge_pallas as mp
+
+    Q = keys.shape[0]
+    C = spec.capacity
+    kshift = payload_bits(key_bits)
+    cb = cbits(key_bits)
+    qmark = jnp.uint64((1 << (cb + 1)) - 1)
+    packed = jnp.where(
+        keys == SENTINEL, SENTINEL, (keys << jnp.uint64(kshift)) | qmark)
+    qh = (packed >> jnp.uint64(32)).astype(jnp.uint32)
+    ql = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    L, A = mp.DEF_WINDOW, mp.DEF_ALIGN
+    C_pad = mp._pad_len(C, L, A)
+    Q_pad = mp._pad_len(Q, L, A)
+    sh = jnp.concatenate([spec.hi, jnp.full((C_pad - C,), SENT32)])
+    sl = jnp.concatenate([spec.lo, jnp.full((C_pad - C,), SENT32)])
+    qh = jnp.concatenate([qh, jnp.full((Q_pad - Q,), SENT32)])
+    ql = jnp.concatenate([ql, jnp.full((Q_pad - Q,), SENT32)])
+    counts = jpl.count_join_planes(sh, sl, qh, ql, key_bits)[:Q]
+    return jnp.where(keys == SENTINEL, 0, counts.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits",))
+def query_join_auto(spec: Spectrum, keys: jax.Array,
+                    key_bits: int) -> jax.Array:
+    """query_join for arbitrary-order keys, routed through the merge-join
+    kernel on TPU: sort (keys, iota) + linear kernel + unsort costs
+    O(Q log Q + C), beating query_join's O((C+Q) log(C+Q)) concatenation
+    sort whenever Q < C.  Other backends: query_join directly."""
+    if not _pallas_available():
+        return query_join(spec, keys, key_bits)
+    keys = keys.reshape(-1)
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    sk, si = xsort((keys, iota), num_keys=1)
+    c = query_join_sorted(spec, sk, key_bits)
+    _, back = xsort((si, c), num_keys=1)
+    return back
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits",))
 def query_set_traveled(spec: Spectrum, keys: jax.Array, key_bits: int):
     """Batched qf_count_key_value_set_traveled (gqf.c:3092-3128).
 
