@@ -102,7 +102,9 @@ def main() -> int:
     k = 47
     qb = 28
     key_bits = qb + 8
-    C, BC = 1 << qb, 1 << 27
+    # BC=2^27 default; SH_BENCH_BC_LOG2 overrides (a larger buffer
+    # amortizes the per-merge O(C)-slot stream at more HBM)
+    C, BC = 1 << qb, 1 << int(os.environ.get("SH_BENCH_BC_LOG2", "27"))
     S, B, L = 8, 8192, 160
     W = L - k + 1
     windows = B * W
@@ -269,11 +271,54 @@ def main() -> int:
     except Exception as e:
         log(f"# identity check skipped: {e!r}")
 
+    # ---- end-to-end reads -> contigs (north-star #2) ---------------------
+    # VERDICT r3 #4: the full-pipeline wall clock must be recorded by
+    # default, as a second JSON line (1 Mbp x 30x synthetic workload).
+    try:
+        if not time_left(150):
+            raise RuntimeError("bench deadline")
+        from sh_assembly_tpu.cli import pipeline as pipe
+
+        d = tempfile.mkdtemp(prefix="bench_e2e_")
+        g2 = rng.integers(0, 4, size=1_000_000).astype(np.uint8)
+        bmap = np.frombuffer(b"ACGT", np.uint8)
+        n_reads_e, rl_e = 300_000, 100
+        starts = rng.integers(0, len(g2) - rl_e, size=n_reads_e)
+        rows = bmap[g2[starts[:, None] + np.arange(rl_e)]]
+        with open(os.path.join(d, "reads.fastq"), "wb") as f:
+            quals = b"I" * rl_e
+            for i in range(n_reads_e):
+                f.write(b"@r%d\n" % i)
+                f.write(rows[i].tobytes())
+                f.write(b"\n+\n%s\n" % quals)
+        with open(os.path.join(d, "ReadFiles.txt"), "w") as f:
+            f.write("reads.fastq\n")
+        total_kmers = n_reads_e * (rl_e - k + 1)
+        t0 = time.time()
+        pipe.main(["-k", str(k), "-i", os.path.join(d, "ReadFiles.txt"),
+                   "-n", "1000000", "-N", str(total_kmers), "-e", "0.001",
+                   "--deNoise", "0",
+                   "-o", os.path.join(d, "contigs.fa"),
+                   "--unitigs", os.path.join(d, "unitigs.fa")])
+        dte = time.time() - t0
+        log(f"# end-to-end reads->contigs: {dte:.1f}s for {n_reads_e} reads "
+            f"({total_kmers/dte/1e6:.1f}M kmers/s incl. everything)")
+        print(json.dumps({
+            "metric": "end_to_end_reads_to_contigs_1mbp30x",
+            "value": round(dte, 2),
+            "unit": "s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+    except Exception as e:
+        log(f"# end-to-end skipped: {e!r}")
+
     # ---- stage 2: Contiger throughput at a loaded spectrum ---------------
     # VERDICT r2 #4: windows/s for node collection and the probe/contract
     # phases must be measured by default, not hidden behind SH_BENCH_FULL.
     try:
-        if not time_left(180):
+        # needs the largest reserve: the Contiger programs + two merge-join
+        # kernel geometries compile fresh on cacheless backends
+        if not time_left(300):
             raise RuntimeError("bench deadline")
         from sh_assembly_tpu.io import fastq as fq
         from sh_assembly_tpu.models import contiger
@@ -335,51 +380,65 @@ def main() -> int:
         log(f"# stage2(qb={qb2}, {n_nodes/1e6:.1f}M nodes): collect "
             f"{windows2/t_collect/1e6:.1f}M windows/s ({t_collect:.2f}s), "
             f"probe+contract {n_nodes/t_graph/1e6:.1f}M nodes/s "
-            f"({t_graph:.2f}s)")
+            f"({t_graph:.2f}s)  [includes host feed + tunnel RTTs]")
+
+        # device-side program rates (chained dispatches on pre-staged
+        # inputs; what the chip does once the feed keeps up)
+        from sh_assembly_tpu.ops import packio as _pk
+
+        SBr = 8 * B2
+        st2d = rng.integers(0, G2 - Lr, size=SBr)
+        cds = genome2[st2d[:, None] + np.arange(Lr)]
+        pkd, nmd = _pk.pack_np(cds)
+        dpk = jax.device_put(jnp.asarray(pkd))
+        dnm = jax.device_put(jnp.asarray(nmd))
+        dln = jax.device_put(jnp.asarray(np.full(SBr, Lr, np.int32)))
+        dsc = jax.device_put(jnp.asarray(np.full(SBr, -1, np.int32)))
+        Wr2 = Lr - k + 1
+        PCb = 1 << 24
+        pend = [jnp.full((PCb,), jnp.uint64(0xFFFFFFFFFFFFFFFF))
+                for _ in range(3)] + [jnp.zeros((PCb,), jnp.uint8)]
+
+        def stage_once(p):
+            ph, pl2, pk2, ps2, _ = contiger._stage_super(
+                p[0], p[1], p[2], p[3], jnp.zeros((), jnp.int64),
+                dpk, dnm, dln, dsc, k, kb2, Lr)
+            return [ph, pl2, pk2, ps2]
+
+        pend = stage_once(pend)
+        jax.block_until_ready(pend[0])
+        t0 = time.time()
+        for _ in range(4):
+            pend = stage_once(pend)
+        jax.block_until_ready(pend[0])
+        t_st = (time.time() - t0) / 4
+        # real node k-mers (genome windows, packed left-aligned) so the
+        # probe pass does full work, not sentinel skips
+        Np2 = 1 << max(int(np.ceil(np.log2(max(n_nodes, 1024)))), 10)
+        stw = rng.integers(0, G2 - k, size=Np2)
+        ckw = genome2[stw[:, None] + np.arange(k)].astype(np.uint64)
+        hp2 = np.zeros(Np2, np.uint64)
+        lp2 = np.zeros(Np2, np.uint64)
+        for j in range(k):
+            sh_amt = 126 - 2 * j
+            if sh_amt >= 64:
+                hp2 |= ckw[:, j] << np.uint64(sh_amt - 64)
+            else:
+                lp2 |= ckw[:, j] << np.uint64(sh_amt)
+        dh2 = jnp.asarray(hp2)
+        dl2 = jnp.asarray(lp2)
+        gr = contiger.build_oriented_graph(spec2, dh2, dl2, k, kb2, 2)
+        jax.block_until_ready(gr[1])
+        t0 = time.time()
+        gr = contiger.build_oriented_graph(spec2, dh2, dl2, k, kb2, 2)
+        jax.block_until_ready(gr[1])
+        t_pr = time.time() - t0
+        log(f"# stage2 device-side: stage {SBr*Wr2/t_st/1e6:.0f}M "
+            f"windows/s, probe {Np2/t_pr/1e6:.2f}M nodes/s "
+            f"(pre-staged inputs, no feed)")
         del spec2, batches
     except Exception as e:
         log(f"# stage2 skipped: {e!r}")
-
-    # ---- end-to-end reads -> contigs (north-star #2) ---------------------
-    # VERDICT r3 #4: the full-pipeline wall clock must be recorded by
-    # default, as a second JSON line (1 Mbp x 30x synthetic workload).
-    try:
-        if not time_left(150):
-            raise RuntimeError("bench deadline")
-        from sh_assembly_tpu.cli import pipeline as pipe
-
-        d = tempfile.mkdtemp(prefix="bench_e2e_")
-        g2 = rng.integers(0, 4, size=1_000_000).astype(np.uint8)
-        bmap = np.frombuffer(b"ACGT", np.uint8)
-        n_reads_e, rl_e = 300_000, 100
-        starts = rng.integers(0, len(g2) - rl_e, size=n_reads_e)
-        rows = bmap[g2[starts[:, None] + np.arange(rl_e)]]
-        with open(os.path.join(d, "reads.fastq"), "wb") as f:
-            quals = b"I" * rl_e
-            for i in range(n_reads_e):
-                f.write(b"@r%d\n" % i)
-                f.write(rows[i].tobytes())
-                f.write(b"\n+\n%s\n" % quals)
-        with open(os.path.join(d, "ReadFiles.txt"), "w") as f:
-            f.write("reads.fastq\n")
-        total_kmers = n_reads_e * (rl_e - k + 1)
-        t0 = time.time()
-        pipe.main(["-k", str(k), "-i", os.path.join(d, "ReadFiles.txt"),
-                   "-n", "1000000", "-N", str(total_kmers), "-e", "0.001",
-                   "--deNoise", "0",
-                   "-o", os.path.join(d, "contigs.fa"),
-                   "--unitigs", os.path.join(d, "unitigs.fa")])
-        dte = time.time() - t0
-        log(f"# end-to-end reads->contigs: {dte:.1f}s for {n_reads_e} reads "
-            f"({total_kmers/dte/1e6:.1f}M kmers/s incl. everything)")
-        print(json.dumps({
-            "metric": "end_to_end_reads_to_contigs_1mbp30x",
-            "value": round(dte, 2),
-            "unit": "s",
-            "vs_baseline": 0.0,
-        }), flush=True)
-    except Exception as e:
-        log(f"# end-to-end skipped: {e!r}")
 
     if os.environ.get("SH_BENCH_FULL"):
         extended(k, baseline)

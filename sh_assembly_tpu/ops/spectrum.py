@@ -631,7 +631,11 @@ def query_join_sorted(spec: Spectrum, keys: jax.Array,
     ql = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     L, A = mp.DEF_WINDOW, mp.DEF_ALIGN
     C_pad = mp._pad_len(C, L, A)
-    Q_pad = mp._pad_len(Q, L, A)
+    # round the query extent to a power of two: every distinct Q_pad is a
+    # whole Mosaic kernel compile (~minutes on backends without a
+    # persistent cache), and the call sites' natural sizes (pend caps,
+    # 9N/16N probe batches) then collapse onto a handful of geometries
+    Q_pad = max(1 << int(np.ceil(np.log2(max(Q, 2)))), L)
     sh = jnp.concatenate([spec.hi, jnp.full((C_pad - C,), SENT32)])
     sl = jnp.concatenate([spec.lo, jnp.full((C_pad - C,), SENT32)])
     qh = jnp.concatenate([qh, jnp.full((Q_pad - Q,), SENT32)])
