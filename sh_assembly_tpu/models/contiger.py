@@ -486,9 +486,9 @@ def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
     input's sort-free tail order (build_oriented_graph never requires
     sorted nodes, only join2 which sorts internally).
     """
-    def padded(h, l):
+    def padded(h, l, at_least=1024):
         n = len(h)
-        Np = 1 << max(int(np.ceil(np.log2(max(n, 1024)))), 10)
+        Np = 1 << max(int(np.ceil(np.log2(max(n, at_least)))), 10)
         hp = np.full(Np, NODE_SENTINEL, np.uint64)
         lp = np.full(Np, NODE_SENTINEL, np.uint64)
         hp[:n] = h
@@ -499,7 +499,13 @@ def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
     f_hi, f_lo = hi_np, lo_np  # round-1 frontier = everything
     for _ in range(max_rounds):
         sh, sl = padded(hi_np, lo_np)
-        fh, fl = padded(f_hi, f_lo)
+        # small graphs: pad the frontier to the store extent so later
+        # rounds REUSE round 1's compiled program (a fresh geometry is a
+        # whole compile — minutes on cacheless backends — to probe a few
+        # thousand nodes); big graphs: true frontier size, where the
+        # wasted full-width probe would cost more than the compile
+        at_least = sh.shape[0] if sh.shape[0] <= (1 << 24) else 1024
+        fh, fl = padded(f_hi, f_lo, at_least)
         ph_h, ph_l, n_new = phantom_candidates(
             spec, sh, sl, fh, fl, k, key_bits, abundance_min)
         n_new = int(n_new)
