@@ -499,12 +499,15 @@ def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
     f_hi, f_lo = hi_np, lo_np  # round-1 frontier = everything
     for _ in range(max_rounds):
         sh, sl = padded(hi_np, lo_np)
-        # small graphs: pad the frontier to the store extent so later
-        # rounds REUSE round 1's compiled program (a fresh geometry is a
-        # whole compile — minutes on cacheless backends — to probe a few
-        # thousand nodes); big graphs: true frontier size, where the
-        # wasted full-width probe would cost more than the compile
-        at_least = sh.shape[0] if sh.shape[0] <= (1 << 24) else 1024
+        # TPU + small graphs: pad the frontier to the store extent so
+        # later rounds REUSE round 1's compiled program (a fresh geometry
+        # is a whole compile — minutes on cacheless backends — to probe a
+        # few thousand nodes).  CPU (fast cached compiles) and big graphs
+        # keep true frontier sizing, where the wasted full-width probe
+        # costs more than the compile.
+        at_least = (sh.shape[0]
+                    if sp._pallas_available() and sh.shape[0] <= (1 << 24)
+                    else 1024)
         fh, fl = padded(f_hi, f_lo, at_least)
         ph_h, ph_l, n_new = phantom_candidates(
             spec, sh, sl, fh, fl, k, key_bits, abundance_min)
