@@ -212,12 +212,13 @@ def build_spectrum(
     """Count canonical k-mers of a batch stream into a merged Spectrum.
 
     Host batches are stacked `super_batch` at a time and processed by one
-    fused device program (count_scan) that appends, merges, and runs
-    deNoise sweeps entirely on device.
+    fused append program (append_scan_packed) per superstep; the host
+    dispatches the merge+sweep program (merge_maybe_sweep) between appends
+    at the exact per-batch cadence it mirrors deterministically.
 
     tight_denoise=False restores the pure buffer-boundary sweep cadence
     (used by cadence-characterization tests; production default is the
-    tighter near-threshold trigger, see count_scan.body).
+    tighter near-threshold trigger, see need_merge_before).
     """
     batch_cfg = batch_cfg or cfg.BatchConfig()
     k, key_bits = sizing.k, sizing.qb + 8

@@ -41,7 +41,7 @@ def make_counter(sizing: cfg.CounterSizing, n_mesh: int | None,
     n = mesh.devices.size
     local_cap = _pow2_at_least(sizing.nslots // n, 1 << 12)
     # per-step routed block on a shard = local windows x quota slack (2.0,
-    # count_scan_fn default); the log buffer must hold >= 2 such blocks so
+    # append_scan_fn default); the log buffer must hold >= 2 such blocks so
     # one block always fits after a merge
     windows_local = (batch_cfg.reads_per_batch // n) * (
         batch_cfg.max_read_len - sizing.k + 1)

@@ -183,7 +183,7 @@ def test_triggered_denoise_round(rng):
     counts = {}
     swept = 0
     windows = bc.reads_per_batch * (bc.max_read_len - k + 1)
-    nbuf = 0  # full-block window count, mirroring count_scan's n_buf
+    nbuf = 0  # full-block window count, mirroring the host n_buf mirror
 
     def maybe_sweep():
         nonlocal swept, counts
@@ -193,7 +193,7 @@ def test_triggered_denoise_round(rng):
 
     def process(batch):
         nonlocal nbuf
-        # count_scan merges (and checks the trigger) BEFORE an insert that
+        # build_spectrum merges (and checks the trigger) BEFORE an insert that
         # would overflow the log buffer
         if nbuf + windows > buf_capacity:
             nbuf = 0

@@ -151,7 +151,7 @@ def test_flagship_proportional_ratio(rng):
     ~310M-distinct deNoise threshold — insertion lag ~0.43 of the threshold
     per sweep, far coarser than the toy ratios above.  Reproduce that RATIO
     at test scale and assert the production tight_denoise trigger (early
-    merge once ndistinct + n_buf could cross, counter.count_scan.body)
+    merge once ndistinct + n_buf could cross, counter.build_spectrum)
     keeps the count-bearing spectrum within an explicit 2% drift bound of
     the reference's per-chunk cadence (CQF_mt.h:858-875)."""
     genome = random_genome(rng, 3000)
