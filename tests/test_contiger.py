@@ -209,3 +209,33 @@ def test_cycle_unitig():
     assert len(graph.unitigs) >= 1
     total_kmers = sum(len(u.seq) - k + 1 for u in graph.unitigs)
     assert total_kmers <= len(core) + 5
+
+
+def test_contract_host_matches_device(rng):
+    """contract_paths_host (native C++ walk, cpp/contract.cpp) must agree
+    exactly with the jit pointer-jumping kernel on paths AND cycles."""
+    import jax.numpy as jnp
+
+    M = 4096
+    nxt = np.full(M, -1, np.int32)
+    # random disjoint chains
+    perm = rng.permutation(M)
+    i = 0
+    while i < M - 64:
+        ln = int(rng.integers(1, 17))
+        chain = perm[i : i + ln]
+        for a, b in zip(chain[:-1], chain[1:]):
+            nxt[a] = b
+        i += ln
+    # a few cycles from the leftover tail
+    tail = perm[i:]
+    for c0 in range(0, len(tail) - 6, 6):
+        cyc = tail[c0 : c0 + 6]
+        for a, b in zip(cyc, np.roll(cyc, -1)):
+            nxt[a] = b
+
+    hh, dh, th = contiger.contract_paths_host(nxt)
+    hd, dd, td = contiger.contract_paths(jnp.asarray(nxt))
+    np.testing.assert_array_equal(hh, np.asarray(hd))
+    np.testing.assert_array_equal(dh, np.asarray(dd))
+    np.testing.assert_array_equal(th.astype(bool), np.asarray(td))
