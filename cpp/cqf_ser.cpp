@@ -210,6 +210,13 @@ class SerWriter {
         off = d > 255 ? 255 : (uint8_t)d;
       }
       if (next_j_ < flushed_) { failed_ = true; return; }
+      // a large occupied-bucket gap can resolve more than WIN boundaries
+      // in one call: flush the trailing edge first so the ring entry
+      // being written never wraps over an unflushed offset (the flushed
+      // blocks' slot data is final — writes only ever land at or past
+      // the current run start, which is beyond them)
+      if (next_j_ >= flushed_ + WIN) flush_until(next_j_ - WIN + 1);
+      if (failed_) return;
       roff_[next_j_ % WIN] = off;
       next_j_++;
     }

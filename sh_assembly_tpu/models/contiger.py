@@ -413,6 +413,39 @@ def _succ_probes(hi, lo, rhi, rlo, fh0, rh0, k: int, mask):
     return probe_keys, succ_hi, succ_lo, succ_flip
 
 
+def _sibling_probes(hi, lo, rhi, rlo, fh0, rh0, k: int, mask):
+    """The 8 suffix-sibling candidate probes of both orientations.
+
+    Siblings share a junction's (k-1)-suffix (kmer = RC(current) with the
+    last base replaced, the reference's before-side spawns,
+    contig_assembly.cpp:3140-3165) — NOT graph neighbors, so the successor
+    probes alone miss them.  Hash by replacing the base-0 term of the
+    ntHash XOR (seed rotated by k-1 / cseed unrotated).
+
+    Returns (probe_keys[8], sib_hi[8], sib_lo[8] canonical packed k-mers).
+    """
+    seeds = nthash.seed_table()
+    cseeds = nthash.cseed_table()
+    probe_keys, sib_hi, sib_lo = [], [], []
+    for o in range(2):
+        ohi = hi if o == 0 else rhi
+        olo = lo if o == 0 else rlo
+        ofh = fh0 if o == 0 else rh0
+        orh = rh0 if o == 0 else fh0
+        t0 = kp.first_base(ohi, olo, k)
+        for Y in range(4):
+            sfh = ofh ^ _rol(seeds[t0], (k - 1) % 64) ^ \
+                _rol(seeds[Y], (k - 1) % 64)
+            srh = orh ^ cseeds[t0] ^ cseeds[Y]
+            probe_keys.append(jnp.minimum(sfh, srh) & mask)
+            whi, wlo = kp.replace_first_base(ohi, olo, jnp.uint64(Y), k)
+            wrchi, wrclo = kp.revcomp_packed(whi, wlo, k)
+            wchi, wclo, _wf = kp.canonicalize(whi, wlo, wrchi, wrclo)
+            sib_hi.append(wchi)
+            sib_lo.append(wclo)
+    return probe_keys, sib_hi, sib_lo
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "key_bits", "abundance_min"))
 def phantom_candidates(spec: sp.Spectrum, store_hi, store_lo, hi, lo,
@@ -438,29 +471,10 @@ def phantom_candidates(spec: sp.Spectrum, store_hi, store_lo, hi, lo,
     rhi, rlo = kp.revcomp_packed(hi, lo, k)
     probe_keys, succ_hi, succ_lo, _ = _succ_probes(
         hi, lo, rhi, rlo, fh0, rh0, k, mask)
-    # sibling candidates: the before-side spawns share the node's (k-1)-
-    # suffix (kmer = RC(current) with the last base replaced,
-    # contig_assembly.cpp:3140-3165) — NOT graph neighbors, so the
-    # successor probes alone miss them.  Hash by replacing the base-0 term
-    # of the ntHash XOR (seed rotated by k-1 / cseed unrotated).
-    seeds = nthash.seed_table()
-    cseeds = nthash.cseed_table()
-    for o in range(2):
-        ohi = hi if o == 0 else rhi
-        olo = lo if o == 0 else rlo
-        ofh = fh0 if o == 0 else rh0
-        orh = rh0 if o == 0 else fh0
-        t0 = kp.first_base(ohi, olo, k)
-        for Y in range(4):
-            sfh = ofh ^ _rol(seeds[t0], (k - 1) % 64) ^ \
-                _rol(seeds[Y], (k - 1) % 64)
-            srh = orh ^ cseeds[t0] ^ cseeds[Y]
-            probe_keys.append(jnp.minimum(sfh, srh) & mask)
-            whi, wlo = kp.replace_first_base(ohi, olo, jnp.uint64(Y), k)
-            wrchi, wrclo = kp.revcomp_packed(whi, wlo, k)
-            wchi, wclo, _wf = kp.canonicalize(whi, wlo, wrchi, wrclo)
-            succ_hi.append(wchi)
-            succ_lo.append(wclo)
+    skeys, shi2, slo2 = _sibling_probes(hi, lo, rhi, rlo, fh0, rh0, k, mask)
+    probe_keys += skeys
+    succ_hi += shi2
+    succ_lo += slo2
     P = len(succ_hi)  # 16 probes per node
     all_j = kp.join2(store_hi, store_lo,
                      jnp.concatenate(succ_hi),
@@ -479,7 +493,11 @@ def phantom_candidates(spec: sp.Spectrum, store_hi, store_lo, hi, lo,
     kh = jnp.where(keep, sh, sent)
     kl = jnp.where(keep, sl, sent)
     oh, ol = sp.xsort((kh, kl), num_keys=2)
-    return oh[:N], ol[:N], jnp.sum(keep, dtype=jnp.int64)
+    # the output is truncated to the frontier size N; report the capped
+    # count AND the true total so the caller can detect truncation (close
+    # _over_phantoms re-probes with a full frontier in that case)
+    n_found = jnp.sum(keep, dtype=jnp.int64)
+    return (oh[:N], ol[:N], jnp.minimum(n_found, N), n_found)
 
 
 def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
@@ -519,7 +537,7 @@ def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
                     if sp._pallas_available() and sh.shape[0] <= (1 << 24)
                     else 1024)
         fh, fl = padded(f_hi, f_lo, at_least)
-        ph_h, ph_l, n_new = phantom_candidates(
+        ph_h, ph_l, n_new, n_found = phantom_candidates(
             spec, sh, sl, fh, fl, k, key_bits, abundance_min)
         n_new = int(n_new)
         if n_new == 0:
@@ -529,6 +547,11 @@ def close_over_phantoms(spec: sp.Spectrum, hi_np, lo_np, k: int,
         hi_np = np.concatenate([hi_np, f_hi])
         lo_np = np.concatenate([lo_np, f_lo])
         total_new += n_new
+        if int(n_found) > n_new:
+            # output was truncated to the frontier extent: re-probe with
+            # the full store as the frontier so the dropped candidates are
+            # rediscovered (they are still absent from the store)
+            f_hi, f_lo = hi_np, lo_np
     else:
         log(f"[Contiger] phantom closure not converged after "
             f"{max_rounds} rounds ({total_new} added); continuing")

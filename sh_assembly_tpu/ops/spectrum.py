@@ -96,13 +96,27 @@ def _host_sort_enabled() -> bool:
 
 
 def _inside_axis_context() -> bool:
-    """True when tracing under shard_map/pmap (named axes in scope)."""
+    """True when tracing under shard_map/pmap (named axes in scope).
+
+    Uses a private jax API; if a jax upgrade removes it, FAIL CLOSED
+    (pretend we are always inside a collective): that merely disables the
+    CPU host-sort fast path, whereas failing open would re-enable the
+    pure_callback-under-shard_map stall this guard exists to prevent
+    (round-3 regression, MULTICHIP_r03)."""
     try:
         from jax._src import core as _core
 
         return bool(_core.get_axis_env().axis_sizes)
     except Exception:
-        return False
+        global _HOST_SORT
+        if _HOST_SORT:
+            import warnings
+
+            warnings.warn(
+                "jax axis-env introspection unavailable; disabling the "
+                "CPU host-sort fast path (safe, slower CPU sorts)")
+            _HOST_SORT = False
+        return True
 
 
 def xsort(operands, num_keys: int = 1):

@@ -35,19 +35,24 @@ def _pow2_at_least(x: int, lo: int = 1) -> int:
 
 
 def make_counter(sizing: cfg.CounterSizing, n_mesh: int | None,
-                 batch_cfg: cfg.BatchConfig) -> sharded.ShardedCounter:
+                 batch_cfg: cfg.BatchConfig,
+                 super_batch: int = 4) -> sharded.ShardedCounter:
     mesh = (multihost.make_global_mesh() if jax.process_count() > 1
             else sharded.make_mesh(n_mesh))
     n = mesh.devices.size
     local_cap = _pow2_at_least(sizing.nslots // n, 1 << 12)
     # per-step routed block on a shard = local windows x quota slack (2.0,
-    # append_scan_fn default); the log buffer must hold >= 2 such blocks so
-    # one block always fits after a merge
+    # append_scan_fn default).  One fused scan appends super_batch blocks
+    # with NO merge inside (append_scan_fn), so the log buffer must hold a
+    # full stack plus one more block of headroom — sizing for fewer than
+    # super_batch blocks would make insert_planes clamp its write offset
+    # and silently overwrite earlier routed keys.
     windows_local = (batch_cfg.reads_per_batch // n) * (
         batch_cfg.max_read_len - sizing.k + 1)
     routed = int(np.ceil(windows_local / max(n, 1) * 2.0)) * n if n > 1 \
         else windows_local
-    local_buf = _pow2_at_least(max(2 * routed + 1, 1 << 16))
+    local_buf = _pow2_at_least(
+        max((super_batch + 1) * routed + 1, 1 << 16))
     return sharded.ShardedCounter(
         mesh=mesh, k=sizing.k, key_bits=sizing.qb + 8,
         local_capacity=local_cap, local_buf_capacity=local_buf)
@@ -70,7 +75,7 @@ def count_sharded(
     deNoise sweep).
     """
     batch_cfg = batch_cfg or cfg.BatchConfig()
-    sc = make_counter(sizing, n_mesh, batch_cfg)
+    sc = make_counter(sizing, n_mesh, batch_cfg, super_batch=super_batch)
     mesh, n = sc.mesh, sc.n_shards
     log(f"[mesh] counting over {n} devices "
         f"(local capacity 2^{int(np.log2(sc.local_capacity))}, "
@@ -115,10 +120,17 @@ def count_sharded(
     BCl = sc.local_buf_capacity
     host_nbuf = 0
 
+    if S * routed_step > BCl:
+        raise ValueError(
+            f"one fused scan appends {S * routed_step} buffer slots but "
+            f"the shard log buffer holds {BCl}; raise local_buf_capacity "
+            f"or lower super_batch")
+
     def flush():
         nonlocal spec_v, rounds_v, fill, dropped, host_nbuf
         nonlocal stack_c, stack_l
-        if host_nbuf + fill * routed_step > BCl:
+        # the padded stack always appends S blocks regardless of fill
+        if host_nbuf + S * routed_step > BCl:
             spec_v, rounds_v = merge_sweep(spec_v, rounds_v, threshold)
             host_nbuf = 0
         spec_v, dropped_v = scan(

@@ -314,26 +314,11 @@ class ShardedContiger:
             rhi, rlo = kp.revcomp_packed(hi, lo, k)
             probe_keys, succ_hi, succ_lo, _ = contiger._succ_probes(
                 hi, lo, rhi, rlo, fh0, rh0, k, mask)
-            seeds = nthash.seed_table()
-            cseeds = nthash.cseed_table()
-            for o in range(2):
-                ohi = hi if o == 0 else rhi
-                olo = lo if o == 0 else rlo
-                ofh = fh0 if o == 0 else rh0
-                orh = rh0 if o == 0 else fh0
-                t0 = kp.first_base(ohi, olo, k)
-                for Y in range(4):
-                    sfh = ofh ^ contiger._rol(seeds[t0], (k - 1) % 64) ^ \
-                        contiger._rol(seeds[Y], (k - 1) % 64)
-                    srh = orh ^ cseeds[t0] ^ cseeds[Y]
-                    probe_keys.append(jnp.minimum(sfh, srh) & mask)
-                    whi, wlo = kp.replace_first_base(
-                        ohi, olo, jnp.uint64(Y), k)
-                    wrchi, wrclo = kp.revcomp_packed(whi, wlo, k)
-                    wchi, wclo, _wf = kp.canonicalize(whi, wlo, wrchi,
-                                                      wrclo)
-                    succ_hi.append(wchi)
-                    succ_lo.append(wclo)
+            skeys, shi2, slo2 = contiger._sibling_probes(
+                hi, lo, rhi, rlo, fh0, rh0, k, mask)
+            probe_keys = probe_keys + skeys
+            succ_hi = succ_hi + shi2
+            succ_lo = succ_lo + slo2
             Pn = len(succ_hi)
             vall = jnp.tile(valid, Pn)
             pk = jnp.where(vall, jnp.concatenate(probe_keys), sp.SENTINEL)
