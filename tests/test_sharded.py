@@ -122,3 +122,28 @@ def test_sharded_sweep(rng):
     keys, counts = sc.gather_spectrum(spec)
     expect = {k: v for k, v in oracle_count(reads, K, QB + 8).items() if v >= 2}
     assert dict(zip(keys.tolist(), counts.tolist())) == expect
+
+
+def test_make_counter_buffer_holds_full_scan():
+    """Regression: one fused scan appends super_batch routed blocks with
+    no in-scan merge; make_counter must size the shard log buffer to hold
+    a full stack (it sized for 2 blocks while count_sharded dispatched 4,
+    so insert_planes clamped its offset and silently overwrote keys)."""
+    from sh_assembly_tpu import config as cfg
+    from sh_assembly_tpu.parallel import driver
+
+    sizing = cfg.CounterSizing(
+        k=31, qb=20, hb=28, num_true_kmers=0, num_false_kmers=0,
+        n_true_kmers=1, num_deNoise=0, ndistinct_for_deNoise=1 << 62,
+        end_deNoise=False, fr=0.0)
+    bc = cfg.BatchConfig()  # CLI defaults: 8192 reads x 160 bp
+    for n_mesh in (2, 4, 8):
+        if len(jax.devices()) < n_mesh:
+            continue
+        for S in (2, 4, 8):
+            sc = driver.make_counter(sizing, n_mesh, bc, super_batch=S)
+            per_step = sc.routed_per_step(
+                bc.reads_per_batch // sc.n_shards, bc.max_read_len)
+            assert S * per_step <= sc.local_buf_capacity, (
+                f"mesh={n_mesh} S={S}: scan appends {S * per_step} > "
+                f"buffer {sc.local_buf_capacity}")
