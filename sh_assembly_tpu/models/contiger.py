@@ -139,12 +139,40 @@ def _stage_super(pend_hi, pend_lo, pend_key, pend_seed, n_pend, packed,
     return pend_hi, pend_lo, pend_key, pend_seed, n_pend + oh.shape[0]
 
 
+def _plane4_pack(hi, lo, nflag, tag: int):
+    """(u64 kmer pair, u8 inverted-seed flag) -> 4 u32 planes in the
+    merge128_pallas encoding (flag at bit 1, source tag at bit 0 of p3;
+    SENTINEL pairs map to all-ones planes automatically)."""
+    p0 = (hi >> _U64(32)).astype(jnp.uint32)
+    p1 = hi.astype(jnp.uint32)
+    p2 = (lo >> _U64(32)).astype(jnp.uint32)
+    sentm = (hi == _U64(NODE_SENTINEL)) & (lo == _U64(NODE_SENTINEL))
+    p3 = lo.astype(jnp.uint32) | (nflag.astype(jnp.uint32) << 1) | \
+        jnp.uint32(tag)
+    p3 = jnp.where(sentm, jnp.uint32(0xFFFFFFFF), p3)
+    return p0, p1, p2, p3
+
+
+def _plane4_unpack(planes, n_live):
+    """Inverse of _plane4_pack -> (hi, lo, seed u8); entries at index >=
+    n_live become SENTINEL."""
+    p0, p1, p2, p3 = planes
+    n = p0.shape[0]
+    live = jnp.arange(n, dtype=jnp.int64) < n_live
+    hi = (p0.astype(_U64) << _U64(32)) | p1.astype(_U64)
+    lo = (p2.astype(_U64) << _U64(32)) | (p3 & ~jnp.uint32(3)).astype(_U64)
+    seed = jnp.where((p3 & jnp.uint32(2)) == 0, jnp.uint8(1), jnp.uint8(0))
+    sent = _U64(NODE_SENTINEL)
+    return (jnp.where(live, hi, sent), jnp.where(live, lo, sent),
+            jnp.where(live, seed, jnp.uint8(0)))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("key_bits", "abundance_min"),
+    jax.jit, static_argnames=("key_bits", "abundance_min", "k"),
     donate_argnums=(1, 2, 3, 4, 5, 6, 7))
 def _flush_pending(spec: sp.Spectrum, store_hi, store_lo, store_seed,
                    pend_hi, pend_lo, pend_key, pend_seed,
-                   key_bits: int, abundance_min: int):
+                   key_bits: int, abundance_min: int, k: int = 0):
     """Count-filter the pending candidates once, merge the solid ones into
     the sorted node store, and return cleared pending planes.
 
@@ -180,12 +208,43 @@ def _flush_pending(spec: sp.Spectrum, store_hi, store_lo, store_seed,
     solid = counts >= abundance_min
     chi = jnp.where(solid, p_hi, sent)
     clo = jnp.where(solid, p_lo, sent)
+    cnf = jnp.where(solid, jnp.uint8(1) - p_seed, jnp.uint8(1))
+    cap = store_hi.shape[0]
+
+    if sp._pallas_available() and 0 < k <= 62:
+        # linear store fold (merge128_pallas): sort only the P survivors
+        # by k-mer, then stream-merge into the already-sorted store — the
+        # O(store + P) sorts per flush were the collect stage's scale
+        # limit (the store is ~10x the pending buffer at flagship scale)
+        from ..ops import merge128_pallas as m128
+        from ..ops import merge_pallas as mp
+
+        sh2, sl2, sf2 = sp.xsort((chi, clo, cnf), num_keys=3)
+        L_, A_ = mp.DEF_WINDOW, mp.DEF_ALIGN
+        cap_pad = mp._pad_len(cap, L_, A_)
+        p_pad = mp._pad_len(sh2.shape[0], L_, A_)
+
+        def padp(planes, n_pad):
+            return tuple(
+                jnp.concatenate([p, jnp.full((n_pad - p.shape[0],),
+                                             jnp.uint32(0xFFFFFFFF))])
+                for p in planes)
+
+        a4 = padp(_plane4_pack(store_hi, store_lo,
+                               jnp.uint8(1) - store_seed, 0), cap_pad)
+        b4 = padp(_plane4_pack(sh2, sl2, sf2, 1), p_pad)
+        out4, n_live = m128.merge128_planes(a4, b4)
+        oh, ol, oseed = _plane4_unpack(
+            tuple(p[:cap] for p in out4), n_live)
+        n_store = n_live.astype(jnp.int64)
+        return (oh, ol, oseed, n_store,
+                jnp.full_like(pend_hi, sent), jnp.full_like(pend_lo, sent),
+                jnp.full_like(pend_key, sent),
+                jnp.zeros_like(pend_seed))
 
     ah = jnp.concatenate([store_hi, chi])
     al = jnp.concatenate([store_lo, clo])
-    nf = jnp.concatenate([jnp.uint8(1) - store_seed,
-                          jnp.where(solid, jnp.uint8(1) - p_seed,
-                                    jnp.uint8(1))])
+    nf = jnp.concatenate([jnp.uint8(1) - store_seed, cnf])
     sh, sl, sf = sp.xsort((ah, al, nf), num_keys=3)
     is_sent = (sh == sent) & (sl == sent)
     first = jnp.concatenate(
@@ -195,7 +254,6 @@ def _flush_pending(spec: sp.Spectrum, store_hi, store_lo, store_seed,
     kl = jnp.where(keep, sl, sent)
     kf = jnp.where(keep, jnp.uint8(1) - sf, jnp.uint8(0))
     oh, ol, of_ = sp.xsort((kh, kl, kf), num_keys=2)
-    cap = store_hi.shape[0]
     n_store = jnp.sum(keep, dtype=jnp.int64)
     return (oh[:cap], ol[:cap], of_[:cap], n_store,
             jnp.full_like(pend_hi, sent), jnp.full_like(pend_lo, sent),
@@ -261,7 +319,7 @@ def collect_nodes(spec: sp.Spectrum, batches: Iterable[fastq.Batch], k: int,
          pend_hi, pend_lo, pend_key, pend_seed) = _flush_pending(
             spec, store_hi, store_lo, store_seed,
             pend_hi, pend_lo, pend_key, pend_seed,
-            key_bits, abundance_min)
+            key_bits, abundance_min, k)
         n_peak = jnp.maximum(n_peak, n_store)
         n_pend = jnp.zeros((), jnp.int64)
         pend_upper = 0
