@@ -180,15 +180,14 @@ def _flush_pending(spec: sp.Spectrum, store_hi, store_lo, store_seed,
     amortized over the ~pend_cap/SB*W supersteps that filled the buffer,
     vs the per-superstep full-spectrum sort of the round-2 design.
 
-    KNOWN SCALE LIMIT: the store merge re-sorts O(n_store + pend) per
-    flush.  At the flagship's ~330M nodes that pass dominates collect
-    (~minutes over the whole stream); the fix is the same trick the
-    counting spectrum uses — an LSM tier (small sorted level absorbing
-    flushes, folded into the big store when it fills) plus a 4-plane
-    (128-bit entry) variant of the streaming merge kernel
-    (ops/merge_pallas) so the fold is a linear pass instead of a sort.
-    Sharded runs sidestep it meanwhile: per-shard stores at flagship
-    scale are 330M/n_shards entries.
+    On TPU (k <= 62) the store merge is a LINEAR fold: one P-sized sort
+    of the survivors + the streaming 128-bit dedup-merge kernel
+    (ops/merge128_pallas) against the already-sorted store.  The XLA
+    fallback below re-sorts O(n_store + pend) per flush — fine at test
+    scale, the collect bottleneck at the flagship's ~330M nodes (an LSM
+    tier between flush and store would amortize the remaining linear
+    pass further if it ever matters; sharded runs divide the store by
+    n_shards anyway).
     Cross-superstep duplicates inside pending are collapsed by the same
     keep-first rule that dedups against the store; seed flags OR across
     duplicates via the inverted-flag sort key.
