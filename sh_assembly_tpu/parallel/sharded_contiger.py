@@ -522,7 +522,8 @@ def assemble_unitigs_sharded(
 
     # ---- phase A2: phantom closure ----------------------------------------
     phantom = st.phantom_fn()
-    for _round in range(8):
+    max_rounds = 8
+    for _round in range(max_rounds):
         (store_hi, store_lo, store_seed, n_store_v, n_new_v,
          dropped_v) = phantom(spec_v, store_hi, store_lo, store_seed)
         if int(np.asarray(dropped_v).sum()):
@@ -540,8 +541,11 @@ def assemble_unitigs_sharded(
         log(f"[Contiger/sharded] phantom closure round {_round + 1}: "
             f"{n_new} nodes added")
     else:
-        log("[Contiger/sharded] phantom closure not converged after 8 "
-            "rounds; continuing")
+        raise RuntimeError(
+            f"sharded phantom closure not converged after {max_rounds} "
+            f"rounds: the node set would silently diverge from reference "
+            f"candidate semantics; raise key_bits (hash collisions are "
+            f"pathologically dense)")
 
     # ---- phase B ----------------------------------------------------------
     probe = st.probe_fn()
