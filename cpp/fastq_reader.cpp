@@ -22,6 +22,7 @@
 #include <thread>
 #include <vector>
 
+#include <dlfcn.h>
 #include <zlib.h>
 
 namespace {
@@ -29,6 +30,139 @@ namespace {
 constexpr uint8_t CODE_N = 4;
 constexpr uint8_t CODE_PAD = 5;
 constexpr size_t CHUNK = 1u << 23;  // 8 MB parts, like the reference
+
+// ---------------------------------------------------------------------------
+// bzip2 via dlopen: this image ships libbz2.so.1 but no bzlib.h, so the
+// stable public ABI (bz_stream + the three decompress entry points) is
+// declared here and bound at runtime.  The reference opens .bz2 natively
+// through boost::iostreams' bzip2 filter (getFileReader,
+// /root/reference/cqf/CQF_mt.h:933-957); this is the equivalent on the
+// low-level API.  Multi-stream files (pbzip2 output) are handled by
+// re-initing on BZ_STREAM_END.
+
+struct bz_stream {
+  char* next_in;
+  unsigned avail_in;
+  unsigned total_in_lo32, total_in_hi32;
+  char* next_out;
+  unsigned avail_out;
+  unsigned total_out_lo32, total_out_hi32;
+  void* state;
+  void* (*bzalloc)(void*, int, int);
+  void (*bzfree)(void*, void*);
+  void* opaque;
+};
+constexpr int BZ_OK = 0, BZ_STREAM_END = 4;
+
+struct Bz2Api {
+  int (*init)(bz_stream*, int, int) = nullptr;
+  int (*decompress)(bz_stream*) = nullptr;
+  int (*end)(bz_stream*) = nullptr;
+  bool ok() const { return init && decompress && end; }
+};
+
+const Bz2Api& bz2_api() {
+  static Bz2Api api = [] {
+    Bz2Api a;
+    for (const char* name : {"libbz2.so.1", "libbz2.so", "libbz2.so.1.0"}) {
+      if (void* h = dlopen(name, RTLD_NOW | RTLD_GLOBAL)) {
+        a.init = (int (*)(bz_stream*, int, int))dlsym(
+            h, "BZ2_bzDecompressInit");
+        a.decompress = (int (*)(bz_stream*))dlsym(h, "BZ2_bzDecompress");
+        a.end = (int (*)(bz_stream*))dlsym(h, "BZ2_bzDecompressEnd");
+        if (a.ok()) break;
+        a = Bz2Api();
+      }
+    }
+    return a;
+  }();
+  return api;
+}
+
+// Streaming bz2 decompressor over a FILE*.
+class Bz2File {
+ public:
+  explicit Bz2File(const std::string& path) {
+    f_ = fopen(path.c_str(), "rb");
+    if (!f_ || !bz2_api().ok()) return;
+    memset(&strm_, 0, sizeof(strm_));
+    if (bz2_api().init(&strm_, 0, 0) != BZ_OK) {
+      fclose(f_);
+      f_ = nullptr;
+      return;
+    }
+    live_ = true;
+    in_.resize(1u << 20);
+  }
+  ~Bz2File() {
+    if (live_) bz2_api().end(&strm_);
+    if (f_) fclose(f_);
+  }
+  bool ok() const { return f_ != nullptr && live_; }
+
+  int read(char* buf, unsigned len) {
+    if (!ok() || eof_) return eof_ ? 0 : -1;
+    strm_.next_out = buf;
+    strm_.avail_out = len;
+    while (strm_.avail_out > 0) {
+      if (strm_.avail_in == 0 && !in_eof_) {
+        size_t got = fread(in_.data(), 1, in_.size(), f_);
+        if (got == 0) {
+          if (ferror(f_)) return -1;
+          in_eof_ = true;
+        }
+        strm_.next_in = in_.data();
+        strm_.avail_in = (unsigned)got;
+      }
+      int rc = bz2_api().decompress(&strm_);
+      if (rc == BZ_STREAM_END) {
+        // multi-stream (pbzip2) support: restart on remaining input
+        bz2_api().end(&strm_);
+        live_ = false;
+        if (strm_.avail_in == 0 && in_eof_) {
+          eof_ = true;
+          break;
+        }
+        char* ni = strm_.next_in;
+        unsigned ai = strm_.avail_in;
+        char* no = strm_.next_out;
+        unsigned ao = strm_.avail_out;
+        memset(&strm_, 0, sizeof(strm_));
+        if (bz2_api().init(&strm_, 0, 0) != BZ_OK) return -1;
+        live_ = true;
+        strm_.next_in = ni;
+        strm_.avail_in = ai;
+        strm_.next_out = no;
+        strm_.avail_out = ao;
+      } else if (rc != BZ_OK) {
+        return -1;
+      } else if (strm_.avail_in == 0 && in_eof_) {
+        // truncated stream: surface what we have, then EOF
+        eof_ = true;
+        break;
+      }
+    }
+    return (int)(len - strm_.avail_out);
+  }
+
+ private:
+  FILE* f_ = nullptr;
+  bz_stream strm_;
+  std::vector<char> in_;
+  bool live_ = false, eof_ = false, in_eof_ = false;
+};
+
+bool is_bz2_path(const std::string& path) {
+  if (path.size() >= 4 && path.compare(path.size() - 4, 4, ".bz2") == 0)
+    return true;
+  // magic sniff: "BZh" header
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  char m[3] = {0, 0, 0};
+  size_t got = fread(m, 1, 3, f);
+  fclose(f);
+  return got == 3 && m[0] == 'B' && m[1] == 'Z' && m[2] == 'h';
+}
 
 struct Segment {
   std::vector<uint8_t> codes;
@@ -54,17 +188,30 @@ void init_tables() {
 class SeqFile {
  public:
   explicit SeqFile(const std::string& path) {
+    if (is_bz2_path(path)) {
+      bz_ = new Bz2File(path);
+      if (!bz_->ok()) {
+        delete bz_;
+        bz_ = nullptr;
+      }
+      return;
+    }
     gz_ = gzopen(path.c_str(), "rb");
     if (gz_) gzbuffer(gz_, 1u << 24);
   }
   ~SeqFile() {
     if (gz_) gzclose(gz_);
+    delete bz_;
   }
-  bool ok() const { return gz_ != nullptr; }
-  int read(char* buf, unsigned len) { return gzread(gz_, buf, len); }
+  bool ok() const { return gz_ != nullptr || bz_ != nullptr; }
+  int read(char* buf, unsigned len) {
+    if (bz_) return bz_->read(buf, len);
+    return gzread(gz_, buf, len);
+  }
 
  private:
   gzFile gz_ = nullptr;  // zlib transparently handles plain files too
+  Bz2File* bz_ = nullptr;
 };
 
 class Reader {
@@ -342,7 +489,11 @@ extern "C" {
 
 // ABI version: bump when exported signatures change so the Python loader
 // can detect a stale libshasm.so and rebuild (io/native.py).
-int shr_abi_version() { return 2; }
+int shr_abi_version() { return 3; }
+
+// 1 iff libbz2 bound at runtime (io/native.py falls back to the Python
+// reader for .bz2 inputs when 0).
+int shr_has_bz2() { return bz2_api().ok() ? 1 : 0; }
 
 void* shr_open(const char** paths, int n_paths, int k, int n_threads) {
   std::vector<std::string> v;

@@ -23,7 +23,7 @@ _lib = None
 _tried = False
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _build() -> bool:
@@ -109,6 +109,19 @@ def available() -> bool:
     return _load() is not None
 
 
+def _needs_py_fallback(lib, fmode: str, paths: list[str]) -> bool:
+    """bz2 inputs stay on the Python reader only when the native library
+    could not bind libbz2 at runtime (cpp/fastq_reader.cpp dlopen path;
+    reference handles .bz2 natively via getFileReader, CQF_mt.h:933-957)."""
+    wants_bz2 = fmode == "b" or any(p.endswith(".bz2") for p in paths)
+    if not wants_bz2:
+        return False
+    try:
+        return lib.shr_has_bz2() != 1
+    except AttributeError:
+        return True
+
+
 def batches_from_files(
     paths: list[str],
     k: int,
@@ -120,7 +133,7 @@ def batches_from_files(
     """Native batch stream; falls back to the Python reader for bzip2 or a
     missing toolchain."""
     lib = _load()
-    if lib is None or fmode == "b" or any(p.endswith(".bz2") for p in paths):
+    if lib is None or _needs_py_fallback(lib, fmode, paths):
         yield from pyfastq.batches_from_files(
             paths, k, fmode, reads_per_batch, max_read_len)
         return
@@ -166,7 +179,7 @@ def packed_batches_from_files(
     assert row_len % 8 == 0, "row_len must be a multiple of 8"
     lib = _load()
     B, L = reads_per_batch, row_len
-    if lib is None or fmode == "b" or any(p.endswith(".bz2") for p in paths):
+    if lib is None or _needs_py_fallback(lib, fmode, paths):
         from ..ops import packio
 
         for b in pyfastq.batches_from_files(paths, k, fmode, B, L):

@@ -144,3 +144,34 @@ def test_packed_path_counting_parity(tmp_path, rng):
     keys, counts, _ = sp.to_host(spec, qb + 8)
     assert dict(zip(keys.tolist(), counts.tolist())) == \
         oracle_count(reads, k, qb + 8)
+
+
+def test_native_bz2(tmp_path, rng):
+    """Native .bz2 ingest (dlopen'd libbz2, cpp/fastq_reader.cpp) matches
+    the Python reader; multi-stream files (pbzip2-style concatenation)
+    decode fully.  Reference: getFileReader bzip2 path, CQF_mt.h:933-957."""
+    import bz2
+
+    from oracle import random_reads
+
+    lib = native._load()
+    if not getattr(lib, "shr_has_bz2", None) or lib.shr_has_bz2() != 1:
+        pytest.skip("libbz2 not bindable at runtime")
+    k = 21
+    reads = random_reads(rng, 300, 120, n_rate=0.01)
+    path = str(tmp_path / "r.fastq")
+    write_fastq(path, reads)
+    raw = open(path, "rb").read()
+    bzpath = path + ".bz2"
+    # two concatenated streams, split mid-record
+    half = len(raw) // 2
+    with open(bzpath, "wb") as f:
+        f.write(bz2.compress(raw[:half]))
+        f.write(bz2.compress(raw[half:]))
+
+    py_rows = collect_rows(
+        pyfastq.batches_from_files([bzpath], k, "auto", 64, 96))
+    nat_rows = collect_rows(
+        native.batches_from_files([bzpath], k, "auto", 64, 96))
+    assert py_rows == nat_rows
+    assert len(py_rows) >= 300
