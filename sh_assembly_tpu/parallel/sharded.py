@@ -93,7 +93,7 @@ class ShardedCounter:
 
         f = shard_map(mk, mesh=self.mesh, in_specs=(),
                       out_specs=self._spec_pspec(), check_vma=False)
-        return jax.jit(f)()
+        return sp.jit_collective(f)()
 
     def step_fn(self):
         """jit'd (spec, codes, lengths) -> spec — one counting superstep.
@@ -136,7 +136,7 @@ class ShardedCounter:
             local_step, mesh=self.mesh,
             in_specs=(self._spec_pspec(), P("shard"), P("shard")),
             out_specs=self._spec_pspec(), check_vma=False)
-        return jax.jit(f, donate_argnums=(0,))
+        return sp.jit_collective(f, donate_argnums=(0,))
 
     def routed_per_step(self, rows_local: int, L: int,
                         quota_slack: float = 2.0) -> int:
@@ -249,7 +249,7 @@ class ShardedCounter:
                       P(None, "shard"), P(None, "shard")),
             out_specs=(self._spec_pspec(), P("shard")),
             check_vma=False)
-        return jax.jit(f, donate_argnums=(0,))
+        return sp.jit_collective(f, donate_argnums=(0,))
 
     def merge_sweep_fn(self):
         """jit fn(spec_v, rounds_v, threshold) -> (spec_v, rounds_v):
@@ -282,7 +282,7 @@ class ShardedCounter:
             in_specs=(self._spec_pspec(), P("shard"), P()),
             out_specs=(self._spec_pspec(), P("shard")),
             check_vma=False)
-        return jax.jit(f, donate_argnums=(0, 1))
+        return sp.jit_collective(f, donate_argnums=(0, 1))
 
     def merge_fn(self, drop_singletons: bool = False):
         key_bits = self.key_bits
@@ -299,7 +299,7 @@ class ShardedCounter:
         f = shard_map(local_merge, mesh=self.mesh,
                       in_specs=(self._spec_pspec(),),
                       out_specs=self._spec_pspec(), check_vma=False)
-        return jax.jit(f, donate_argnums=(0,))
+        return sp.jit_collective(f, donate_argnums=(0,))
 
     def stats_fn(self):
         """Global (ndistinct, nelts) via psum over the mesh."""
@@ -312,7 +312,7 @@ class ShardedCounter:
         f = shard_map(local_stats, mesh=self.mesh,
                       in_specs=(self._spec_pspec(),),
                       out_specs=(P("shard"), P("shard")), check_vma=False)
-        jf = jax.jit(f)
+        jf = sp.jit_collective(f)
 
         def run(spec):
             nd, ne = jf(spec)

@@ -283,7 +283,7 @@ class ShardedContiger:
                       P("shard")),
             out_specs=(P("shard"),) * 5,
             check_vma=False)
-        return jax.jit(f, donate_argnums=(1, 2, 3))
+        return sp.jit_collective(f, donate_argnums=(1, 2, 3))
 
     # -- phase A2: sharded phantom closure ---------------------------------
     def phantom_fn(self):
@@ -345,7 +345,7 @@ class ShardedContiger:
                       P("shard")),
             out_specs=(P("shard"),) * 6,
             check_vma=False)
-        return jax.jit(f, donate_argnums=(1, 2, 3))
+        return sp.jit_collective(f, donate_argnums=(1, 2, 3))
 
     # -- phase B: sharded probe/graph build --------------------------------
     def probe_fn(self):
@@ -434,7 +434,7 @@ class ShardedContiger:
             in_specs=(self.counter._spec_pspec(), P("shard"), P("shard")),
             out_specs=(P("shard"),) * 5 + (P("shard"),),
             check_vma=False)
-        return jax.jit(f)
+        return sp.jit_collective(f)
 
 
 def assemble_unitigs_sharded(
