@@ -442,11 +442,17 @@ def stage2(rng, genome, k: int) -> None:
     B2 = 8192
     n_batches = (n_reads + B2 - 1) // B2
     batches = []
+    raw_codes = []
     for i in range(n_batches):
         starts = rng.integers(0, G2 - Lr, size=B2)
         codes = genome2[starts[:, None] + np.arange(Lr)]
-        batches.append(fq.Batch(
-            codes=codes, lengths=np.full(B2, Lr, np.int32), n_rows=B2))
+        raw_codes.append(codes)
+        # production transport format (what the native reader emits):
+        # collect time must not include a Python packing pass
+        pk, nm = _pk.pack_np(codes)
+        batches.append(fq.PackedBatch(
+            packed=pk, nmask=nm, lengths=np.full(B2, Lr, np.int32),
+            n_rows=B2))
 
     # load the spectrum with the reads' true multiplicities (device
     # hash + insert + merge at the stage-2 geometry; counts ~= 30)
@@ -455,11 +461,11 @@ def stage2(rng, genome, k: int) -> None:
         lambda c, ln: nthash.windowed_canonical(c, ln, k)[0],
         static_argnames=())
     stage_n = (1 << 24) // (B2 * (Lr - k + 1)) or 1
+    lens_d = jnp.asarray(np.full(B2, Lr, np.int32))
     for i in range(0, n_batches, stage_n):
         ks = []
-        for b in batches[i : i + stage_n]:
-            kk2 = hashfn(jnp.asarray(b.codes),
-                         jnp.asarray(b.lengths))
+        for codes in raw_codes[i : i + stage_n]:
+            kk2 = hashfn(jnp.asarray(codes), lens_d)
             ks.append((kk2 & jnp.uint64((1 << kb2) - 1)).reshape(-1))
         spec2 = sp.insert(spec2, jnp.concatenate(ks))
         spec2 = sp.merge(spec2, kb2)
@@ -479,8 +485,10 @@ def stage2(rng, genome, k: int) -> None:
         t0 = time.time()
         nsucc, chain_next, ncnt = contiger.build_oriented_graph(
             spec2, jnp.asarray(hp), jnp.asarray(lp), k, kb2, 2)
-        head, dist, is_tail = contiger.contract_paths(chain_next)
-        jax.block_until_ready(head)
+        # production contraction path (native C++ walk; the device
+        # pointer-jumping fallback is ~10x slower and only used when the
+        # native library is unavailable)
+        head, dist, is_tail = contiger.contract_paths_host(chain_next)
         return len(hi2), t_collect, time.time() - t0
 
     run_stage2()  # compile
