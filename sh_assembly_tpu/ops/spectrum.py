@@ -367,7 +367,17 @@ def sort_pack_buf(buf_hi: jax.Array, buf_lo: jax.Array, key_bits: int):
         bh = jnp.where(live, sk << jnp.uint32(kshift - 32), SENT32)
         bl = jnp.where(live, jnp.uint32(0), SENT32)
     else:
-        sh, sl = xsort((buf_hi, buf_lo), num_keys=2)
+        if 32 < key_bits <= 39:
+            # the hi plane carries <= 7 key bits, so it rides the sort
+            # network as a u8 plane: measured 543 ms vs 631 ms for the
+            # (u32, u32) pair at BC=2^27 on v5e (the network cost is
+            # u32-plane movement, not comparator width).  SENTINEL holes
+            # map to hi8=0xFF, distinct from any real key's hi (<= 0x7F).
+            sh8, sl = xsort((buf_hi.astype(jnp.uint8), buf_lo), num_keys=2)
+            sh = sh8.astype(jnp.uint32)
+            sh = jnp.where(idxb < n_valid, sh, SENT32)
+        else:
+            sh, sl = xsort((buf_hi, buf_lo), num_keys=2)
         # pack key -> key << kshift | count(=0); all-ones input pairs pack
         # to an all-ones hi automatically, fix the lo plane by n_valid
         bh = (sh << jnp.uint32(kshift)) | (sl >> jnp.uint32(32 - kshift))
