@@ -395,11 +395,19 @@ def main() -> int:
                        "--unitigs", os.path.join(d, f"unitigs{run}.fa")])
             times.append(time.time() - t0)
             log(f"# e2e run {run + 1}: {times[-1]:.1f}s")
-            if run == 0 and not time_left(max(60.0, times[0] * 0.5)):
-                log("# e2e second run skipped (deadline); reporting run 1")
+            # The compile-warm second run IS the e2e evidence; once run 1
+            # completed, run 2 costs only its runtime (everything is
+            # compiled in-process), so it must not be starved by earlier
+            # sections' budget overruns (round-4/round-5 regression: the
+            # deadline skipped it and the cold number became the record).
+            # Skip only when run 1 itself was pathological.
+            if run == 0 and times[0] > 900.0:
+                log("# e2e second run skipped (run 1 pathological); "
+                    "reporting run 1")
                 break
         dte = times[-1]
-        log(f"# end-to-end reads->contigs: {dte:.1f}s (compile-warm) for "
+        warm = " (compile-warm)" if len(times) > 1 else " (COLD - no rerun)"
+        log(f"# end-to-end reads->contigs: {dte:.1f}s{warm} for "
             f"{n_reads_e} reads ({total_kmers/dte/1e6:.1f}M kmers/s incl. "
             f"everything; cold run {times[0]:.1f}s); ref baseline "
             f"{ref_t:.1f}s [{ref_src}]")
