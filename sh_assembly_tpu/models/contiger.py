@@ -565,10 +565,14 @@ def _frontier_pad(n_frontier: int, store_pad: int) -> int:
     program; keying the pad on the backend (round-4 design) recompiled
     phantom_candidates for every closure round on cacheless backends —
     543 s of a 720 s end-to-end run (VERDICT r4 weak #1).  The ladder
-    bounds the program count at <= 5 per store extent on EVERY backend,
-    while later rounds' tiny frontiers still avoid a full-width probe at
-    flagship scale (16N probe joins per round)."""
-    for cand in (1 << 10, 1 << 14, 1 << 18, 1 << 22):
+    bounds the program count at <= 3 per store extent on EVERY backend
+    (round 5 shrank it from 4 rungs to 2: each phantom_candidates
+    compile costs 60-170 s cold on the axon remote-compile service, and
+    the toy e2e's round-3 frontier only re-landed on a fresh 2^10 rung
+    the 2^14 rung serves just as well), while later rounds' small
+    frontiers still avoid a full-width probe at flagship scale (16N
+    probe joins per round)."""
+    for cand in (1 << 14, 1 << 22):
         if n_frontier <= cand <= store_pad:
             return cand
     return store_pad
